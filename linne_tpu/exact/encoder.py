@@ -1,0 +1,216 @@
+"""Bit-exact host encoder — the oracle path.
+
+Produces `.lnn` files byte-identical to the reference C encoder
+(reference: libs/linne_encoder/src/linne_encoder.c) by running the exact
+analysis math of `linne_tpu.exact` in the same order the C encoder does:
+block-type decision, MS transform, two pre-emphasis stages, per-channel
+network fitting (ridge sweep + unit search + optional training), joint
+error-feedback quantization per layer, integer predict cascade, then payload
+serialization.
+
+The TPU production path (`linne_tpu.codec.encoder`) shares the format layer
+and integer semantics but batches the analysis on device; this module is the
+correctness reference and golden generator for it.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..constants import (
+    BLOCK_TYPE_COMPRESS,
+    BLOCK_TYPE_RAW,
+    BLOCK_TYPE_SILENT,
+    CH_PROCESS_MS,
+    LOG2_NUM_UNITS_BITWIDTH,
+    LPC_COEF_BITWIDTH,
+    NUM_PREEMPH_FILTERS,
+    TRAINING_LEARNING_RATE,
+    TRAINING_LOSS_EPSILON,
+    TRAINING_MAX_NUM_ITERATIONS,
+)
+from ..codec.params import EncodeParameter, EncoderConfig
+from ..format.block import (
+    CompressBlockSideInfo,
+    frame_block,
+    write_compress_payload,
+    write_raw_payload,
+)
+from ..format.header import LinneHeader
+from ..format.huffman import get_codebook
+from ..presets import PRESETS
+from .filters import ms_conversion, preemphasis, preemphasis_calculate_coefficient
+from .intlpc import predict
+from .lpc import quantize_coefficients
+from .network import NetworkState, TrainerState
+
+_RAW_THRESHOLD = float(np.float32(0.95))
+
+
+def _roundup(val: int, n: int) -> int:
+    return ((val + n - 1) // n) * n
+
+
+class ExactEncoder:
+    def __init__(self, config: EncoderConfig | None = None):
+        self.config = config or EncoderConfig()
+        self.config.validate()
+        cfg = self.config
+        self.network = NetworkState(
+            cfg.max_num_samples_per_block, cfg.max_num_layers,
+            cfg.max_num_parameters_per_layer)
+        self.trainer = TrainerState(
+            cfg.max_num_layers, cfg.max_num_parameters_per_layer)
+        self.buffer_int = np.zeros(
+            (cfg.max_num_channels, cfg.max_num_samples_per_block),
+            dtype=np.int32)
+        self.buffer_double = np.zeros(
+            cfg.max_num_samples_per_block, dtype=np.float64)
+        self.parameter: EncodeParameter | None = None
+        self.preset = None
+        self.codebook = None
+
+    def set_encode_parameter(self, parameter: EncodeParameter) -> None:
+        parameter.validate_against(self.config)
+        self.parameter = parameter
+        self.preset = PRESETS[parameter.preset]
+        self.network.set_layer_structure(
+            parameter.num_samples_per_block, self.preset.layer_num_params)
+        self.codebook = get_codebook(self.preset.coef_freq_table)
+
+    # -- block-type decision ----------------------------------------------
+
+    def _decide_block_type(self, channels: Sequence[np.ndarray], n: int) -> int:
+        p = self.parameter
+        scale = 2.0 ** (-(p.bits_per_sample - 1))
+        mean_length = 0.0
+        for ch in range(p.num_channels):
+            self.buffer_double[:n] = channels[ch][:n].astype(np.float64) * scale
+            mean_length += self.network.estimate_code_length(
+                self.buffer_double, n, p.bits_per_sample)
+        mean_length /= p.num_channels
+        mean_length /= p.bits_per_sample
+        if mean_length >= _RAW_THRESHOLD:
+            return BLOCK_TYPE_RAW
+        for ch in range(p.num_channels):
+            if np.any(channels[ch][:n]):
+                return BLOCK_TYPE_COMPRESS
+        return BLOCK_TYPE_SILENT
+
+    # -- compress payload --------------------------------------------------
+
+    def _encode_compress_payload(self, channels: Sequence[np.ndarray],
+                                 n: int) -> bytes:
+        p = self.parameter
+        preset = self.preset
+        nch = p.num_channels
+        buf = self.buffer_int
+
+        for ch in range(nch):
+            buf[ch, :n] = channels[ch][:n]
+            buf[ch, n:] = 0
+
+        if p.ch_process_method == CH_PROCESS_MS:
+            ms_conversion(buf[0, :n], buf[1, :n])
+
+        side = CompressBlockSideInfo()
+        for ch in range(nch):
+            stages = []
+            for _stage in range(NUM_PREEMPH_FILTERS):
+                prev = int(buf[ch, 0])
+                coef = preemphasis_calculate_coefficient(buf[ch], n)
+                preemphasis(buf[ch], n, prev, coef)
+                stages.append((prev, coef))
+            side.preemph.append(stages)
+
+        # analysis length: round up to the unit-field grid, clip to
+        # [max layer order, block size] (linne_encoder.c:643-655)
+        max_params = preset.max_num_params
+        num_analyze = _roundup(n, 1 << LOG2_NUM_UNITS_BITWIDTH)
+        num_analyze = min(p.num_samples_per_block, max(max_params, num_analyze))
+
+        scale = 2.0 ** (-(p.bits_per_sample - 1))
+        all_units: List[List[int]] = []
+        all_rshifts: List[List[int]] = []
+        all_coefs: List[List[np.ndarray]] = []
+        for ch in range(nch):
+            self.buffer_double[:num_analyze] = (
+                buf[ch, :num_analyze].astype(np.float64) * scale)
+            self.network.set_units_and_parameters(
+                self.buffer_double, num_analyze,
+                p.num_afmethod_iterations, preset.ridge_terms)
+            if p.enable_learning:
+                self.trainer.train(
+                    self.network, self.buffer_double, num_analyze,
+                    TRAINING_MAX_NUM_ITERATIONS, TRAINING_LEARNING_RATE,
+                    TRAINING_LOSS_EPSILON)
+            units_row = [layer.num_units for layer in self.network.layers]
+            rshift_row = []
+            coef_row = []
+            for layer in self.network.layers:
+                int_coef, rshift = quantize_coefficients(
+                    layer.params, layer.num_params, LPC_COEF_BITWIDTH)
+                rshift_row.append(rshift)
+                coef_row.append(int_coef)
+            all_units.append(units_row)
+            all_rshifts.append(rshift_row)
+            all_coefs.append(coef_row)
+        side.num_units = all_units
+        side.rshifts = all_rshifts
+        side.coefs = all_coefs
+
+        residuals = []
+        for ch in range(nch):
+            signal = buf[ch, :n].copy()
+            for l, layer_np in enumerate(preset.layer_num_params):
+                signal = predict(
+                    signal, n, all_coefs[ch][l], all_units[ch][l],
+                    all_rshifts[ch][l])
+            residuals.append(signal)
+
+        return write_compress_payload(
+            side, residuals, p.bits_per_sample, self.codebook)
+
+    # -- public API --------------------------------------------------------
+
+    def encode_block(self, channels: Sequence[np.ndarray], n: int) -> bytes:
+        if self.parameter is None:
+            raise RuntimeError("set_encode_parameter not called")
+        p = self.parameter
+        if n > p.num_samples_per_block:
+            raise ValueError("too many samples for one block")
+        block_type = self._decide_block_type(channels, n)
+        if block_type == BLOCK_TYPE_RAW:
+            payload = write_raw_payload(
+                [c[:n] for c in channels[: p.num_channels]], p.bits_per_sample)
+        elif block_type == BLOCK_TYPE_SILENT:
+            payload = b""
+        else:
+            payload = self._encode_compress_payload(channels, n)
+        return frame_block(block_type, n, payload)
+
+    def encode_whole(self, channels: Sequence[np.ndarray],
+                     num_samples: int) -> bytes:
+        if self.parameter is None:
+            raise RuntimeError("set_encode_parameter not called")
+        p = self.parameter
+        header = LinneHeader(
+            num_channels=p.num_channels,
+            num_samples=num_samples,
+            sampling_rate=p.sampling_rate,
+            bits_per_sample=p.bits_per_sample,
+            num_samples_per_block=p.num_samples_per_block,
+            preset=p.preset,
+            ch_process_method=p.ch_process_method,
+        )
+        out = bytearray(header.pack())
+        progress = 0
+        while progress < num_samples:
+            n = min(p.num_samples_per_block, num_samples - progress)
+            block = self.encode_block(
+                [c[progress : progress + n] for c in channels], n)
+            out += block
+            progress += n
+        return bytes(out)

@@ -1,0 +1,253 @@
+"""Bit-exact per-block multi-layer LPC predictor ("LINNE net") — host oracle.
+
+Reproduces the encoder-side model-fitting pipeline of the reference
+(reference: libs/linne_network/src/linne_network.c) with the same
+double-precision operation order:
+
+- per-layer power-of-two unit-count search scored by in-place mean |residual|
+  (linne_network.c:268-347),
+- greedy layer-by-layer fit + forward over a ridge-candidate sweep
+  (linne_network.c:582-630),
+- full-batch momentum gradient descent on the L1 loss for `-l` learning
+  (linne_network.c:805-873).
+
+Serial C accumulations are reproduced with `np.cumsum` along the accumulation
+axis. Unit-local convolutions read across unit boundaries for units > 0 and
+assume zero history for unit 0, exactly as the reference pointer arithmetic
+does.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..constants import FLT_MAX, LOG2_NUM_UNITS_BITWIDTH
+from .lpc import LpcState, WINDOW_WELCH, _serial_sum
+
+_MAX_NUM_UNITS = 1 << ((1 << LOG2_NUM_UNITS_BITWIDTH) - 1)  # 128
+
+
+def _sliding_matrix(x: np.ndarray, n: int, order: int) -> np.ndarray:
+    """W[t, j] = x_padded[t - order + j], j = 0..order-1, where x_padded has
+    `order` zeros of left context. Matches the reference convolution layout
+    (weights time-reversed: W[:, -1] is the previous sample)."""
+    xp = np.concatenate([np.zeros(order, dtype=np.float64), x[:n]])
+    idx = np.arange(n)[:, None] + np.arange(order)[None, :]
+    return xp[idx]
+
+
+def _unit_predictions(
+    params: np.ndarray, data: np.ndarray, n: int, num_units: int,
+    include_base: bool,
+) -> np.ndarray:
+    """Serial-order per-sample dot products of each unit's filter with its
+    (cross-boundary) input window.
+
+    If include_base, accumulation starts from data[t] (the unit-search
+    residual evaluation, linne_network.c:319-335); otherwise from 0.0 (the
+    layer forward pass, linne_network.c:192-208). Returns the accumulated
+    vector of length n (entry 0 of unit 0 must be ignored by callers)."""
+    npu = params.shape[0] // num_units
+    ns = n // num_units
+    W = _sliding_matrix(data, n, npu)
+    # per-sample filter: unit u covers rows [u*ns, (u+1)*ns)
+    P = np.repeat(params.reshape(num_units, npu), ns, axis=0)
+    terms = W * P
+    if include_base:
+        acc = np.concatenate([data[:n, None], terms], axis=1)
+    else:
+        acc = np.concatenate([np.zeros((n, 1)), terms], axis=1)
+    return np.cumsum(acc, axis=1)[:, -1]
+
+
+class LayerState:
+    """One prediction layer (reference struct: linne_network.c:12-20)."""
+
+    def __init__(self, num_samples: int, num_params: int):
+        assert num_samples > num_params
+        self.num_samples = num_samples
+        self.num_params = num_params
+        self.num_units = 1
+        self.params = np.zeros(num_params, dtype=np.float64)
+        self.dparams = np.zeros(num_params, dtype=np.float64)
+        self.din = np.zeros(num_samples, dtype=np.float64)
+        self.dout = np.zeros(num_samples, dtype=np.float64)
+
+    def forward(self, data: np.ndarray, n: int) -> None:
+        """data += unitwise prediction, in place (linne_network.c:165-210).
+        Sample 0 of unit 0 is untouched."""
+        self.din[:n] = data[:n]
+        pred = _unit_predictions(self.params, self.din, n, self.num_units, False)
+        data[1:n] += pred[1:n]
+
+    def backward(self, data: np.ndarray, n: int) -> None:
+        """Computes dparams and replaces `data` with the input gradient
+        (linne_network.c:213-265)."""
+        self.dout[:n] = data[:n]
+        npu = self.num_params // self.num_units
+        ns = n // self.num_units
+        for unit in range(self.num_units):
+            pin = self.din[unit * ns : (unit + 1) * ns]
+            pout = self.dout[unit * ns : (unit + 1) * ns]
+            pparams = self.params[unit * npu : (unit + 1) * npu]
+            pback = data[unit * ns : (unit + 1) * ns]
+            pdp = self.dparams[unit * npu : (unit + 1) * npu]
+            # dparams[i] = sum_{j=0}^{ns-npu+i-1} pin[j] * pout[npu-i+j]
+            for i in range(npu):
+                jn = ns - npu + i
+                pdp[i] = _serial_sum(pin[:jn] * pout[npu - i : npu - i + jn])
+            # input grad: back[i] = sum_j params[j] * pout[npu+i-j], scaled
+            for i in range(ns - npu):
+                terms = pparams * pout[npu + i : i : -1][: npu]
+                pback[i] += _serial_sum(terms) / npu
+            for i in range(ns - npu, ns):
+                # edge: only in-range pout entries (j > npu+i-ns) participate
+                j0 = npu + i - ns + 1
+                terms = pparams[j0:] * pout[i + 1 : npu + i - j0 + 1][::-1]
+                pback[i] += _serial_sum(terms) / npu
+
+
+class NetworkState:
+    """Multi-layer predictor + shared LPC scratch
+    (reference struct: linne_network.c:23-33)."""
+
+    def __init__(self, max_num_samples: int, max_num_layers: int,
+                 max_num_params: int):
+        self.max_num_samples = max_num_samples
+        self.max_num_layers = max_num_layers
+        self.max_num_params = max_num_params
+        self.lpcc = LpcState(max_num_params, max_num_samples)
+        self.layers: List[LayerState] = []
+        self.data_buffer = np.zeros(max_num_samples, dtype=np.float64)
+        self.num_samples = max_num_samples
+
+    def set_layer_structure(self, num_samples: int,
+                            num_params_list: Sequence[int]) -> None:
+        self.layers = [LayerState(num_samples, p) for p in num_params_list]
+        self.num_samples = num_samples
+
+    # -- fitting -----------------------------------------------------------
+
+    def _search_optimal_num_units(
+        self, layer: LayerState, data: np.ndarray, n: int,
+        max_num_units: int, regular_term: float,
+    ) -> int:
+        """Try unit counts 1,2,4,...,max; fit each split with a 0-iteration
+        AF fit (pure Levinson-Durbin, Welch window) and score mean |residual|
+        (linne_network.c:268-347)."""
+        min_loss = FLT_MAX
+        best = 0
+        nunits = 1
+        while nunits <= max_num_units:
+            if (layer.num_params % nunits) or (n % nunits):
+                nunits <<= 1
+                continue
+            npu = layer.num_params // nunits
+            ns = n // nunits
+            for unit in range(nunits):
+                coefs = self.lpcc.calculate_coef_af(
+                    data[unit * ns :], ns, npu, 0, WINDOW_WELCH, regular_term)
+                layer.params[unit * npu : (unit + 1) * npu] = coefs[::-1]
+            pred = _unit_predictions(layer.params, data, n, nunits, True)
+            # serial sum of |residual| skipping sample 0 of unit 0
+            mean_loss = _serial_sum(np.abs(pred[1:n])) / n
+            if mean_loss < min_loss:
+                min_loss = mean_loss
+                best = nunits
+            nunits <<= 1
+        assert best != 0
+        return best
+
+    def _set_parameter(self, layer: LayerState, data: np.ndarray, n: int,
+                       num_af_iterations: int, regular_term: float) -> None:
+        npu = layer.num_params // layer.num_units
+        ns = n // layer.num_units
+        for unit in range(layer.num_units):
+            coefs = self.lpcc.calculate_coef_af(
+                data[unit * ns :], ns, npu, num_af_iterations,
+                WINDOW_WELCH, regular_term)
+            layer.params[unit * npu : (unit + 1) * npu] = coefs[::-1]
+
+    def _search_set_units_and_parameters(
+        self, data: np.ndarray, n: int, num_af_iterations: int,
+        regular_term: float,
+    ) -> float:
+        self.data_buffer[:n] = data[:n]
+        buf = self.data_buffer
+        for layer in self.layers:
+            max_units = min(_MAX_NUM_UNITS, layer.num_params)
+            layer.num_units = self._search_optimal_num_units(
+                layer, buf, n, max_units, regular_term)
+            self._set_parameter(layer, buf, n, num_af_iterations, regular_term)
+            layer.forward(buf, n)
+        return _serial_sum(np.abs(buf[:n])) / n
+
+    def set_units_and_parameters(
+        self, data: np.ndarray, n: int, num_afmethod_iterations: int,
+        regular_terms: Sequence[float],
+    ) -> None:
+        """Ridge-candidate sweep, then final refit with the requested AF
+        iteration count (linne_network.c:605-630)."""
+        min_loss = FLT_MAX
+        best_i = 0
+        for i, term in enumerate(regular_terms):
+            loss = self._search_set_units_and_parameters(data, n, 0, term)
+            if loss < min_loss:
+                min_loss = loss
+                best_i = i
+        self._search_set_units_and_parameters(
+            data, n, num_afmethod_iterations, regular_terms[best_i])
+
+    # -- loss / training ---------------------------------------------------
+
+    def calculate_loss(self, data: np.ndarray, n: int) -> float:
+        for layer in self.layers:
+            layer.forward(data, n)
+        return _serial_sum(np.abs(data[:n])) / n
+
+    def _calculate_gradient(self, data: np.ndarray, n: int) -> float:
+        loss = self.calculate_loss(data, n)
+        # L1 subgradient: sign(x)/n with sign(+-0) = +0
+        # (linne_network.c:66-75)
+        d = data[:n]
+        sgn = np.where(d > 0, 1.0, np.where(d < 0, -1.0, 0.0))
+        data[:n] = sgn / n
+        for layer in reversed(self.layers):
+            layer.backward(data, n)
+        return loss
+
+    def estimate_code_length(self, data: np.ndarray, n: int,
+                             bits_per_sample: int) -> float:
+        return self.lpcc.estimate_code_length(
+            data, n, bits_per_sample, self.layers[0].num_params)
+
+
+class TrainerState:
+    """Momentum-SGD trainer (reference: linne_network.c:805-873)."""
+
+    def __init__(self, max_num_layers: int, max_num_params: int):
+        self.momentum = [
+            np.zeros(max_num_params, dtype=np.float64)
+            for _ in range(max_num_layers)
+        ]
+        self.alpha = float(np.float32(0.8))
+
+    def train(self, net: NetworkState, data: np.ndarray, n: int,
+              max_iterations: int, learning_rate: float,
+              loss_epsilon: float) -> None:
+        for l, layer in enumerate(net.layers):
+            self.momentum[l][: layer.num_params] = 0.0
+        prev_loss = FLT_MAX
+        for _ in range(max_iterations):
+            net.data_buffer[:n] = data[:n]
+            loss = net._calculate_gradient(net.data_buffer, n)
+            for l, layer in enumerate(net.layers):
+                m = self.momentum[l][: layer.num_params]
+                np.multiply(m, self.alpha, out=m)
+                m += learning_rate * layer.dparams
+                layer.params -= m
+            if abs(loss - prev_loss) < loss_epsilon:
+                break
+            prev_loss = loss

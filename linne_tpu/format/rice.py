@@ -1,0 +1,198 @@
+"""Partitioned recursive-Rice coding of signed residual planes.
+
+Wire-compatible with the reference residual coder
+(reference: libs/linne_coder/src/linne_coder.c:85-327):
+
+- residuals are zigzag-mapped to unsigned;
+- the plane is split into 2^porder equal partitions, porder chosen by an
+  exact code-length search over porder in [0, max_porder] where max_porder is
+  bounded by divisibility of the sample count and by 10;
+- per-partition two-stage Rice parameters (k1 = k2 + 1) are derived from the
+  partition mean via a geometric-distribution MLE closed form;
+- the chosen porder is emitted in 10 bits, the first k2 in 5 bits, and each
+  subsequent k2 as a gamma-coded zigzagged delta, followed by the samples.
+
+Partition means are computed bottom-up by halving merges in float64 — the
+merge order is arithmetic-significant and reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+from ..constants import LOG2_MAX_NUM_PARTITIONS, RICE_PARAMETER_BITS
+from .bitstream import BitReader, BitWriter
+from .zigzag import zigzag_encode_array, zigzag_decode_scalar, zigzag_encode_scalar
+
+# Solution of (x - 1)^2 + ln(2) x ln(x) = 0; fixed by the format's parameter
+# selection rule (reference: linne_coder.c:177).
+_OPTX = 0.5127629514437670454896078808815218508243560791015625
+_LOG_OPTX = math.log(_OPTX)
+_INV_LOGE2 = 1.4426950408889634
+_U32 = 0xFFFFFFFF
+
+
+def optimal_rice_params(mean: float) -> Tuple[int, int]:
+    """Optimal (k1, k2) for a partition with the given mean of zigzagged
+    values. Scalar libm math on purpose: the selection must match the
+    reference's double-precision evaluation exactly."""
+    rho = 1.0 / (1.0 + mean)
+    one_minus_rho = 1.0 - rho
+    if one_minus_rho <= 0.0:
+        # mean == 0: log(0) -> -inf in C, ratio -> +0, Log2 -> -inf, k2 = 0
+        return 1, 0
+    ratio = _LOG_OPTX / math.log(one_minus_rho)
+    if ratio <= 0.0:
+        k2 = 0
+    else:
+        k2f = math.floor(math.log(ratio) * _INV_LOGE2)
+        k2 = int(max(0.0, k2f))
+    return k2 + 1, k2
+
+
+def gamma_put(writer: BitWriter, val: int) -> None:
+    """Elias-gamma style code (reference: linne_coder.c:85-103)."""
+    if val == 0:
+        writer.put(1, 1)
+        return
+    ndigit = (val + 1).bit_length()  # == LOG2CEIL(val + 2)
+    writer.put_zeros(ndigit - 1)
+    writer.put(val + 1, ndigit)
+
+
+def gamma_get(reader: BitReader) -> int:
+    ndigit = reader.get_zero_run_length() + 1
+    if ndigit == 1:
+        return 0
+    rest = reader.get(ndigit - 1)
+    return (1 << (ndigit - 1)) + rest - 1
+
+
+def _gamma_bits(uval: int) -> int:
+    return 1 if uval == 0 else 2 * (uval + 1).bit_length() - 1
+
+
+def _partition_means(uvals: np.ndarray, max_porder: int) -> List[np.ndarray]:
+    """means[p] = per-partition means at split order p, built bottom-up with
+    the exact float64 halving merges of the reference."""
+    num = uvals.shape[0]
+    nparts = 1 << max_porder
+    nsmpl = num // nparts
+    sums = uvals.astype(np.uint64).reshape(nparts, nsmpl).sum(axis=1)
+    means = [None] * (max_porder + 1)
+    means[max_porder] = sums.astype(np.float64) / float(nsmpl)
+    for p in range(max_porder - 1, -1, -1):
+        upper = means[p + 1]
+        means[p] = (upper[0::2] + upper[1::2]) / 2.0
+    return means
+
+
+def _max_porder(num_samples: int) -> int:
+    p = 1
+    while num_samples % (1 << p) == 0:
+        p += 1
+    return min(p - 1, LOG2_MAX_NUM_PARTITIONS)
+
+
+def _code_length_total(uvals: np.ndarray, k1: int, k2: int) -> int:
+    """Sum of per-sample recursive-Rice code lengths (exact)."""
+    k1pow = np.uint64(1 << k1)
+    u = uvals.astype(np.uint64)
+    small = u < k1pow
+    nbits_small = int(np.count_nonzero(small)) * (k1 + 1)
+    big = u[~small]
+    nbits_big = int(((big - k1pow) >> np.uint64(k2)).sum()) + big.shape[0] * (k2 + 2)
+    return nbits_small + nbits_big
+
+
+def choose_partition(data: np.ndarray) -> Tuple[int, List[Tuple[int, int]]]:
+    """Search the optimal partition order; return (best_porder, [(k1, k2)]
+    per partition of the best order)."""
+    num_samples = data.shape[0]
+    uvals = zigzag_encode_array(data)
+    max_porder = _max_porder(num_samples)
+    means = _partition_means(uvals, max_porder)
+
+    best_porder = 0
+    min_bits = _U32
+    params_by_porder = []
+    for porder in range(max_porder + 1):
+        nsmpl = num_samples >> porder
+        bits = 0
+        prevk2 = 0
+        params = []
+        for part in range(1 << porder):
+            k1, k2 = optimal_rice_params(float(means[porder][part]))
+            params.append((k1, k2))
+            bits += _code_length_total(
+                uvals[part * nsmpl : (part + 1) * nsmpl], k1, k2)
+            if part == 0:
+                bits += RICE_PARAMETER_BITS
+            else:
+                bits += _gamma_bits(zigzag_encode_scalar(k2 - prevk2))
+            prevk2 = k2
+        params_by_porder.append(params)
+        bits &= _U32  # the reference accumulates in uint32
+        if min_bits > bits:
+            min_bits = bits
+            best_porder = porder
+    return best_porder, params_by_porder[best_porder]
+
+
+def encode_plane(writer: BitWriter, data: np.ndarray) -> None:
+    """Encode one residual plane (int32 array) into the bit stream."""
+    num_samples = data.shape[0]
+    best_porder, params = choose_partition(data)
+    uvals = zigzag_encode_array(data)
+
+    writer.put(best_porder, LOG2_MAX_NUM_PARTITIONS)
+    nsmpl = num_samples >> best_porder
+    prevk2 = 0
+    for part, (k1, k2) in enumerate(params):
+        if part == 0:
+            writer.put(k2, RICE_PARAMETER_BITS)
+        else:
+            gamma_put(writer, zigzag_encode_scalar(k2 - prevk2))
+        prevk2 = k2
+        k1pow = 1 << k1
+        k2mask = (1 << k2) - 1
+        put = writer.put
+        put_zeros = writer.put_zeros
+        for uval in uvals[part * nsmpl : (part + 1) * nsmpl].tolist():
+            if uval < k1pow:
+                put((1 << k1) | uval, k1 + 1)
+            else:
+                uval -= k1pow
+                put_zeros(1 + (uval >> k2))
+                put(1, 1)
+                put(uval & k2mask, k2)
+
+
+def decode_plane(reader: BitReader, num_samples: int) -> np.ndarray:
+    """Decode one residual plane of `num_samples` int32 samples."""
+    best_porder = reader.get(LOG2_MAX_NUM_PARTITIONS)
+    nsmpl = num_samples >> best_porder
+    out = np.empty(num_samples, dtype=np.int32)
+    k2 = 0
+    idx = 0
+    get = reader.get
+    get_run = reader.get_zero_run_length
+    for part in range(1 << best_porder):
+        if part == 0:
+            k2 = get(RICE_PARAMETER_BITS)
+        else:
+            k2 = k2 + zigzag_decode_scalar(gamma_get(reader))
+        k1 = k2 + 1
+        k1pow = 1 << k1
+        for _ in range(nsmpl):
+            quot = get_run()
+            if quot == 0:
+                uval = get(k1)
+            else:
+                uval = get(k2) + k1pow + ((quot - 1) << k2)
+            out[idx] = zigzag_decode_scalar(uval)
+            idx += 1
+    return out

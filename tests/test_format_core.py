@@ -1,0 +1,169 @@
+"""Unit tests for the format core: bit I/O, CRC16, zigzag, gamma/Rice,
+Huffman (mirrors the reference micro-test structure: test/bit_stream,
+test/linne_coder, test/static_huffman)."""
+
+import numpy as np
+import pytest
+
+from linne_tpu.format.bitstream import BitReader, BitWriter
+from linne_tpu.format.crc16 import crc16
+from linne_tpu.format.huffman import get_codebook
+from linne_tpu.format.rice import (
+    decode_plane,
+    encode_plane,
+    gamma_get,
+    gamma_put,
+    optimal_rice_params,
+)
+from linne_tpu.format.zigzag import (
+    zigzag_decode_array,
+    zigzag_decode_scalar,
+    zigzag_encode_array,
+    zigzag_encode_scalar,
+)
+from linne_tpu.presets import COEF_FREQ_TABLE
+
+
+class TestBitStream:
+    def test_put_get_roundtrip(self):
+        rng = np.random.default_rng(0)
+        w = BitWriter()
+        items = []
+        for _ in range(1000):
+            nbits = int(rng.integers(1, 33))
+            val = int(rng.integers(0, 1 << nbits))
+            items.append((val, nbits))
+            w.put(val, nbits)
+        w.flush()
+        r = BitReader(w.getvalue())
+        for val, nbits in items:
+            assert r.get(nbits) == val
+
+    def test_msb_first_layout(self):
+        w = BitWriter()
+        w.put(1, 1)
+        w.put(0, 1)
+        w.put(0b101, 3)
+        w.flush()
+        # 1 0 101 000 -> 0b10101000
+        assert w.getvalue() == bytes([0b10101000])
+
+    def test_zero_run(self):
+        for run in [0, 1, 7, 8, 31, 32, 100, 1000]:
+            w = BitWriter()
+            w.put_zero_run(run)
+            w.put(0b1011, 4)
+            w.flush()
+            r = BitReader(w.getvalue())
+            assert r.get_zero_run_length() == run
+            assert r.get(4) == 0b1011
+
+    def test_flush_byte_align(self):
+        w = BitWriter()
+        w.put(0x3, 3)
+        w.flush()
+        w.put(0xFF, 8)
+        assert w.getvalue() == bytes([0b01100000, 0xFF])
+        r = BitReader(w.getvalue())
+        assert r.get(3) == 0x3
+        r.flush()
+        assert r.tell() == 1
+        assert r.get(8) == 0xFF
+
+    def test_zero_bits(self):
+        w = BitWriter()
+        w.put(123, 0)
+        w.flush()
+        assert w.getvalue() == b""
+
+
+class TestCrc16:
+    def test_check_value(self):
+        # CRC-16/ARC check value
+        assert crc16(b"123456789") == 0xBB3D
+
+    def test_empty(self):
+        assert crc16(b"") == 0
+
+
+class TestZigzag:
+    def test_scalar_roundtrip(self):
+        for v in [0, 1, -1, 2, -2, 1000, -1000, 2**30, -(2**30)]:
+            assert zigzag_decode_scalar(zigzag_encode_scalar(v)) == v
+
+    def test_known_mapping(self):
+        assert zigzag_encode_scalar(0) == 0
+        assert zigzag_encode_scalar(-1) == 1
+        assert zigzag_encode_scalar(1) == 2
+        assert zigzag_encode_scalar(-2) == 3
+
+    def test_array_matches_scalar(self):
+        rng = np.random.default_rng(1)
+        v = rng.integers(-(2**31), 2**31, size=1000, dtype=np.int64).astype(np.int32)
+        u = zigzag_encode_array(v)
+        assert np.array_equal(zigzag_decode_array(u), v)
+
+
+class TestGamma:
+    def test_roundtrip(self):
+        for val in list(range(0, 100)) + [255, 1000, 2**20]:
+            w = BitWriter()
+            gamma_put(w, val)
+            w.flush()
+            assert gamma_get(BitReader(w.getvalue())) == val
+
+
+class TestRiceParams:
+    def test_zero_mean(self):
+        assert optimal_rice_params(0.0) == (1, 0)
+
+    def test_monotone_in_mean(self):
+        prev_k2 = 0
+        for mean in [0.1, 1.0, 10.0, 100.0, 1000.0, 1e6]:
+            _, k2 = optimal_rice_params(mean)
+            assert k2 >= prev_k2
+            prev_k2 = k2
+
+
+class TestRicePlane:
+    @pytest.mark.parametrize("n", [64, 100, 1000, 10240])
+    @pytest.mark.parametrize("scale", [0, 3, 300, 30000])
+    def test_roundtrip(self, n, scale):
+        rng = np.random.default_rng(n + scale)
+        data = rng.integers(-scale, scale + 1, size=n).astype(np.int32)
+        w = BitWriter()
+        encode_plane(w, data)
+        w.flush()
+        out = decode_plane(BitReader(w.getvalue()), n)
+        assert np.array_equal(out, data)
+
+    def test_laplacian_roundtrip(self):
+        rng = np.random.default_rng(7)
+        data = np.round(rng.laplace(0, 50, size=10240)).astype(np.int32)
+        w = BitWriter()
+        encode_plane(w, data)
+        w.flush()
+        assert np.array_equal(decode_plane(BitReader(w.getvalue()), 10240), data)
+
+
+class TestHuffman:
+    def test_roundtrip_coef_table(self):
+        cb = get_codebook(COEF_FREQ_TABLE)
+        rng = np.random.default_rng(3)
+        syms = rng.integers(0, 256, size=2000).tolist()
+        w = BitWriter()
+        for s in syms:
+            cb.put(w, s)
+        w.flush()
+        r = BitReader(w.getvalue())
+        assert [cb.get(r) for _ in syms] == syms
+
+    def test_prefix_free(self):
+        cb = get_codebook(COEF_FREQ_TABLE)
+        codes = set()
+        for code, nbits in cb.codes:
+            assert nbits > 0
+            codes.add((code, nbits))
+        assert len(codes) == 256
+        # Kraft equality for a complete prefix code
+        assert sum(2.0 ** -nbits for _, nbits in cb.codes) == 1.0
