@@ -171,6 +171,38 @@ def encode_plane(writer: BitWriter, data: np.ndarray) -> None:
                 put(uval & k2mask, k2)
 
 
+def encode_plane_with_params(
+    writer: BitWriter, data: np.ndarray, porder: int, k2s
+) -> None:
+    """Emit one residual plane with externally chosen partition order and
+    per-partition k2 parameters (e.g. from the device-side search)."""
+    num_samples = data.shape[0]
+    uvals = zigzag_encode_array(data)
+    writer.put(porder, LOG2_MAX_NUM_PARTITIONS)
+    nsmpl = num_samples >> porder
+    prevk2 = 0
+    for part in range(1 << porder):
+        k2 = int(k2s[part])
+        if part == 0:
+            writer.put(k2, RICE_PARAMETER_BITS)
+        else:
+            gamma_put(writer, zigzag_encode_scalar(k2 - prevk2))
+        prevk2 = k2
+        k1 = k2 + 1
+        k1pow = 1 << k1
+        k2mask = (1 << k2) - 1
+        put = writer.put
+        put_zeros = writer.put_zeros
+        for uval in uvals[part * nsmpl : (part + 1) * nsmpl].tolist():
+            if uval < k1pow:
+                put((1 << k1) | uval, k1 + 1)
+            else:
+                uval -= k1pow
+                put_zeros(1 + (uval >> k2))
+                put(1, 1)
+                put(uval & k2mask, k2)
+
+
 def decode_plane(reader: BitReader, num_samples: int) -> np.ndarray:
     """Decode one residual plane of `num_samples` int32 samples."""
     best_porder = reader.get(LOG2_MAX_NUM_PARTITIONS)

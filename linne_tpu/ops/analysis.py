@@ -1,0 +1,283 @@
+"""Batched device analysis kernels: Levinson-Durbin, unit search, quantizer.
+
+This is the TPU-first re-architecture of the reference's per-block analysis
+(reference call stack: LINNENetwork_SetUnitsAndParameters,
+libs/linne_network/src/linne_network.c:582-630): instead of nested C loops
+over ridge-candidates x layers x unit-counts x units, every level becomes a
+batch dimension of one jitted computation over [blocks, channels, ...]
+tensors:
+
+- unit-count candidates are evaluated simultaneously (a unit split is just a
+  reshape of the signal axis);
+- each candidate's per-unit LPC fit is a batched windowed autocorrelation
+  (lax.scan over lags) + batched Levinson-Durbin (lax.scan over order);
+- the winning candidate/ridge is picked with argmin + take_along_axis
+  (first-minimum semantics match the reference's strict-< selection);
+- the 8-bit error-feedback quantizer is a lax.scan over taps.
+
+Float analysis accuracy only affects which coefficients are chosen — never
+losslessness — so the TPU path runs float32 by default while the CPU path
+uses float64 for near-reference coefficient parity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import FLT_EPSILON
+from .windows import WINDOW_SIN, WINDOW_WELCH, window_weights
+
+
+def autocorrelation(x: jnp.ndarray, num_lags: int) -> jnp.ndarray:
+    """Batched autocorrelation over the last axis: ac[..., lag] =
+    sum_t x[t] * x[t+lag] for lag in [0, num_lags)."""
+    n = x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, num_lags)])
+
+    def lag_step(_, lag):
+        shifted = jax.lax.dynamic_slice_in_dim(xp, lag, n, axis=-1)
+        return None, jnp.sum(x * shifted, axis=-1)
+
+    _, ac = jax.lax.scan(lag_step, None, jnp.arange(num_lags))
+    # ac: [num_lags, ...batch] -> [...batch, num_lags]
+    return jnp.moveaxis(ac, 0, -1)
+
+
+def levinson_durbin(ac: jnp.ndarray, order: int, with_parcor: bool = False):
+    """Batched Levinson-Durbin recursion (reference: lpc.c:252-324).
+
+    ac: [..., order+1] autocorrelation (ridge already applied to lag 0).
+    Returns lpc[..., order] (prediction coefficients a_1..a_order, sign
+    convention as the reference: residual = x + sum a_i * x_{t-i}); if
+    with_parcor, also parcor[..., order] (parcor[k] = -gamma_k).
+    """
+    batch_shape = ac.shape[:-1]
+    dtype = ac.dtype
+    silent = jnp.abs(ac[..., 0]) < FLT_EPSILON
+    safe_ac0 = jnp.where(silent, jnp.asarray(1.0, dtype), ac[..., 0])
+    ac = ac.at[..., 0].set(safe_ac0) if hasattr(ac, "at") else ac
+
+    # zero-padded reversed ac for the gamma gather: acp[order - k - 1 + i]
+    # == ac[k+1-i] for k+1-i in range, else 0
+    acp = jnp.concatenate(
+        [jnp.flip(ac, axis=-1),
+         jnp.zeros(batch_shape + (order,), dtype)], axis=-1)
+
+    a0 = jnp.zeros(batch_shape + (order + 1,), dtype).at[..., 0].set(1.0)
+    ek0 = ac[..., 0]
+
+    def step(carry, k):
+        a, ek = carry
+        s = jax.lax.dynamic_slice_in_dim(acp, order - k - 1, order + 1, axis=-1)
+        num = jnp.sum(a * s, axis=-1)
+        gamma = jnp.where(jnp.abs(ek) > 0, num / -jnp.where(ek == 0, 1.0, ek), 0.0)
+        ek = ek * (1.0 - gamma * gamma)
+        # a_new[i] = a[i] + gamma * a[k+1-i] (a[k+1-i] -> 0 out of range)
+        ap = jnp.concatenate(
+            [jnp.flip(a, axis=-1),
+             jnp.zeros(batch_shape + (order + 1,), dtype)], axis=-1)
+        rev = jax.lax.dynamic_slice_in_dim(ap, order - k - 1, order + 1, axis=-1)
+        a = a + gamma[..., None] * rev
+        return (a, ek), -gamma
+
+    (a, _), neg_gammas = jax.lax.scan(step, (a0, ek0), jnp.arange(order))
+    lpc = a[..., 1:]
+    lpc = jnp.where(silent[..., None], 0.0, lpc)
+    if with_parcor:
+        parcor = jnp.moveaxis(neg_gammas, 0, -1)
+        parcor = jnp.where(silent[..., None], 0.0, parcor)
+        return lpc, parcor
+    return lpc
+
+
+def fit_unit_lpc(
+    signal: jnp.ndarray, num_units: int, order_per_unit: int,
+    regular_term: float,
+) -> jnp.ndarray:
+    """Per-unit Welch-windowed LPC fit of one unit-split candidate.
+
+    signal: [..., n]; returns reversed (convolution-layout) coefficients
+    [..., num_units, order_per_unit] matching the reference's parameter
+    ordering (linne_network.c:310-316: h[0] oldest ... h[np-1] newest).
+    """
+    n = signal.shape[-1]
+    ns = n // num_units
+    seg = signal.reshape(signal.shape[:-1] + (num_units, ns))
+    w = jnp.asarray(window_weights(WINDOW_WELCH, ns), dtype=signal.dtype)
+    windowed = seg * w
+    ac = autocorrelation(windowed, order_per_unit + 1)
+    ac = ac.at[..., 0].mul(1.0 + regular_term)
+    lpc = levinson_durbin(ac, order_per_unit)
+    if ns < order_per_unit:  # static: degenerate split -> zero coefficients
+        lpc = jnp.zeros_like(lpc)
+    return jnp.flip(lpc, axis=-1)
+
+
+def unit_forward(
+    signal: jnp.ndarray, params: jnp.ndarray, num_units: int,
+) -> jnp.ndarray:
+    """Residual of a unit-split convolution layer: out[t] = x[t] +
+    sum_j P[unit(t), j] * x[t - npu + j], with zero history before t=0 and
+    cross-unit context exactly like the reference pointer arithmetic
+    (linne_network.c:183-208). Sample 0 passes through.
+
+    signal: [..., n]; params: [..., num_units, npu] (reversed layout).
+    """
+    n = signal.shape[-1]
+    npu = params.shape[-1]
+    ns = n // num_units
+    xp = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(npu, 0)])
+    # per-sample filter rows: repeat each unit's filter over its segment
+    pfull = jnp.repeat(params, ns, axis=-2)  # [..., n, npu]
+
+    def step(acc, j):
+        xj = jax.lax.dynamic_slice_in_dim(xp, j, n, axis=-1)
+        return acc + pfull[..., j] * xj, None
+
+    pred0 = jnp.zeros_like(signal)
+    pred, _ = jax.lax.scan(step, pred0, jnp.arange(npu))
+    out = signal + pred
+    return jnp.concatenate([signal[..., :1], out[..., 1:]], axis=-1)
+
+
+def candidate_units(order: int, n: int, max_units: int = 128) -> list:
+    """Static list of unit counts the reference would try
+    (linne_network.c:284-295): powers of two dividing both the layer order
+    and the analysis length, capped at 128."""
+    cands = []
+    u = 1
+    while u <= min(max_units, order):
+        if order % u == 0 and n % u == 0 and (n // u) > (order // u):
+            cands.append(u)
+        u <<= 1
+    return cands
+
+
+def fit_layer(
+    signal: jnp.ndarray, order: int, regular_term: float,
+):
+    """Unit-count search + fit for one layer over a batched signal.
+
+    Evaluates every candidate split, scores mean |residual| excluding sample
+    0 (linne_network.c:319-337), picks the first minimum. Returns
+    (log2_units[...], flat_params[..., order], residual[..., n], loss[...]).
+    """
+    n = signal.shape[-1]
+    cands = candidate_units(order, n)
+    losses = []
+    flats = []
+    residuals = []
+    for u in cands:
+        params = fit_unit_lpc(signal, u, order // u, regular_term)
+        res = unit_forward(signal, params, u)
+        loss = jnp.sum(jnp.abs(res[..., 1:]), axis=-1) / n
+        losses.append(loss)
+        flats.append(params.reshape(params.shape[:-2] + (order,)))
+        residuals.append(res)
+    loss_stack = jnp.stack(losses, axis=0)       # [ncand, ...]
+    best = jnp.argmin(loss_stack, axis=0)        # first minimum, as in C
+    flat_stack = jnp.stack(flats, axis=0)        # [ncand, ..., order]
+    res_stack = jnp.stack(residuals, axis=0)     # [ncand, ..., n]
+    bexp = best[None]
+    sel_flat = jnp.take_along_axis(
+        flat_stack, bexp[..., None], axis=0)[0]
+    sel_res = jnp.take_along_axis(
+        res_stack, bexp[..., None], axis=0)[0]
+    sel_loss = jnp.take_along_axis(loss_stack, bexp, axis=0)[0]
+    log2_units = jnp.asarray(
+        np.log2(np.asarray(cands)).astype(np.int32))[best]
+    return log2_units, sel_flat, sel_res, sel_loss
+
+
+def fit_network(
+    signal: jnp.ndarray, layer_orders: Sequence[int],
+    ridge_terms: Sequence[float],
+):
+    """Full ridge-sweep greedy network fit (the device analog of
+    LINNENetwork_SetUnitsAndParameters, linne_network.c:605-630).
+
+    signal: [..., n] normalized float. Returns per-layer
+    (log2_units[..., L], params[..., L_max_order-concat]) selected from the
+    best ridge candidate per batch element. With 0 AF iterations the final
+    refit equals the winning sweep pass, so results are cached and gathered
+    rather than recomputed.
+    """
+    per_ridge = []
+    final_losses = []
+    for term in ridge_terms:
+        x = signal
+        layers = []
+        for order in layer_orders:
+            log2u, flat, res, _ = fit_layer(x, order, term)
+            layers.append((log2u, flat))
+            x = res
+        final_losses.append(jnp.sum(jnp.abs(x), axis=-1) / x.shape[-1])
+        per_ridge.append(layers)
+    loss_stack = jnp.stack(final_losses, axis=0)
+    best = jnp.argmin(loss_stack, axis=0)  # [...batch]
+
+    out_log2u = []
+    out_params = []
+    for li in range(len(layer_orders)):
+        log2_stack = jnp.stack([r[li][0] for r in per_ridge], axis=0)
+        param_stack = jnp.stack([r[li][1] for r in per_ridge], axis=0)
+        out_log2u.append(jnp.take_along_axis(log2_stack, best[None], axis=0)[0])
+        out_params.append(
+            jnp.take_along_axis(param_stack, best[None][..., None], axis=0)[0])
+    return out_log2u, out_params
+
+
+def quantize_coefficients(coefs: jnp.ndarray, nbits: int = 8):
+    """Batched error-feedback quantizer (reference: lpc.c:981-1040).
+
+    coefs: [..., order] float. Returns (int_coef[..., order] int32,
+    rshift[...] int32)."""
+    order = coefs.shape[-1]
+    qmax = 1 << (nbits - 1)
+    max_abs = jnp.max(jnp.abs(coefs), axis=-1)
+    is_zero = max_abs <= 2.0 ** (-(nbits - 1))
+    _, exp = jnp.frexp(jnp.where(is_zero, 1.0, max_abs))
+    rshift = jnp.clip((nbits - 1) - exp, 1, 15).astype(jnp.int32)
+    scale = jnp.exp2(rshift.astype(coefs.dtype))
+
+    def step(qerror, t):
+        qerror = qerror + coefs[..., t] * scale
+        q = jnp.where(qerror >= 0.0, jnp.floor(qerror + 0.5),
+                      -jnp.floor(-qerror + 0.5))
+        q = jnp.clip(q, -qmax, qmax - 1)
+        qerror = qerror - q
+        return qerror, q.astype(jnp.int32)
+
+    init = jnp.zeros(coefs.shape[:-1], dtype=coefs.dtype)
+    _, qs = jax.lax.scan(step, init, jnp.arange(order - 1, -1, -1))
+    int_coef = jnp.flip(jnp.moveaxis(qs, 0, -1), axis=-1)
+    int_coef = jnp.where(is_zero[..., None], 0, int_coef)
+    rshift = jnp.where(is_zero, nbits, rshift)
+    return int_coef, rshift
+
+
+def estimate_code_length(
+    signal: jnp.ndarray, order: int, bits_per_sample: int,
+) -> jnp.ndarray:
+    """Batched bits/sample estimate for the block-type decision
+    (reference: lpc.c:810-865). signal: [..., n] normalized float."""
+    n = signal.shape[-1]
+    w = jnp.asarray(window_weights(WINDOW_SIN, n), dtype=signal.dtype)
+    windowed = signal * w
+    ac = autocorrelation(windowed, order + 1)
+    _, parcor = levinson_durbin(ac, order, with_parcor=True)
+    power = ac[..., 0] * 2.0 ** (2.0 * (bits_per_sample - 1))
+    log2_power = jnp.log2(jnp.maximum(power, 1e-300)) - np.log2(n)
+    # indices 1..order-1; the reference also reads the stale [order] entry,
+    # which the fast path treats as 0 (analysis-only deviation)
+    pk = parcor[..., 1:]
+    log2_var = jnp.sum(jnp.log2(jnp.maximum(1.0 - pk * pk, 1e-30)), axis=-1)
+    beta = 1.9426950408889634
+    est = beta + 0.5 * (log2_power + log2_var)
+    est = jnp.where(power == 0.0, 0.0, jnp.where(est <= 0, 1.0, est))
+    return est

@@ -1,0 +1,104 @@
+"""Batched integer (wire-semantics) device ops: MS transform, pre-emphasis,
+and the unit-split LPC predict cascade.
+
+All ops use native int32 arithmetic, whose XLA wraparound semantics match
+the reference's two's-complement behaviour, so device-computed residuals are
+bit-identical to what the reference decoder expects
+(reference: libs/linne_internal/src/linne_utility.c:120-212,
+libs/linne_encoder/src/linne_lpc_predict.c:7-38).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import PREEMPH_COEF_SHIFT
+
+
+def ms_transform(buf: jnp.ndarray) -> jnp.ndarray:
+    """L/R -> mid/side on channels 0/1 of buf[..., ch, n] (int32)."""
+    side = buf[..., 1, :] - buf[..., 0, :]
+    mid = buf[..., 0, :] + (side >> 1)
+    rest = buf[..., 2:, :]
+    return jnp.concatenate(
+        [mid[..., None, :], side[..., None, :], rest], axis=-2)
+
+
+def preemphasis_coefficient(x: jnp.ndarray, dtype=jnp.float64) -> jnp.ndarray:
+    """Batched pre-emphasis coefficient (reference:
+    linne_utility.c:158-193). x: [..., n] int32. Returns int32 coef [...]."""
+    d = x.astype(dtype)
+    curr = d[..., :-1]
+    succ = d[..., 1:]
+    corr0 = jnp.sum(curr * curr, axis=-1)
+    corr1 = jnp.sum(curr * succ, axis=-1)
+    ratio = corr1 / jnp.where(corr0 == 0, 1.0, corr0)
+    coef = jnp.floor(ratio * 32.0 + 0.5).astype(jnp.int32)
+    coef = jnp.minimum(coef, (1 << (PREEMPH_COEF_SHIFT - 1)) - 1)
+    bad = (corr0 < 1e-6) | (ratio < 0.0)
+    return jnp.where(bad, 0, coef)
+
+
+def preemphasis_apply(x: jnp.ndarray, coef: jnp.ndarray) -> jnp.ndarray:
+    """y[t] = x[t] - ((x[t-1] * coef) >> 5), x[-1] := x[0]
+    (the encoder seeds prev with the first sample, linne_encoder.c:637)."""
+    prev = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    return x - ((prev * coef[..., None]) >> PREEMPH_COEF_SHIFT)
+
+
+def predict_cascade_layer(
+    x: jnp.ndarray, coefs: jnp.ndarray, log2_units: jnp.ndarray,
+    rshift: jnp.ndarray, unit_choices: list,
+) -> jnp.ndarray:
+    """One integer predict layer with runtime-selected unit count.
+
+    x: [..., n] int32 signal; coefs: [..., order] int32 (flat unit layout);
+    log2_units: [...] int32; rshift: [...] int32. `unit_choices` is the
+    static list of possible unit counts; the per-batch choice selects among
+    precomputed variants (reference: linne_lpc_predict.c:7-38).
+    """
+    variants = [
+        _predict_fixed_units(x, coefs, u, rshift) for u in unit_choices
+    ]
+    stack = jnp.stack(variants, axis=0)  # [nvar, ..., n]
+    choice_map = {u: i for i, u in enumerate(unit_choices)}
+    lut = jnp.asarray(
+        [choice_map.get(1 << l, 0) for l in range(8)], dtype=jnp.int32)
+    idx = lut[log2_units]
+    return jnp.take_along_axis(stack, idx[None, ..., None], axis=0)[0]
+
+
+def _predict_fixed_units(
+    x: jnp.ndarray, coefs: jnp.ndarray, num_units: int, rshift: jnp.ndarray,
+) -> jnp.ndarray:
+    """FIR residual for a fixed unit split. The first order//num_units
+    samples of each unit and any remainder tail pass through."""
+    n = x.shape[-1]
+    order = coefs.shape[-1]
+    npu = order // num_units
+    ns = n // num_units
+    if ns <= npu:
+        return x
+    body_len = num_units * ns
+    seg = x[..., :body_len].reshape(x.shape[:-1] + (num_units, ns))
+    c = coefs.reshape(coefs.shape[:-1] + (num_units, npu))
+    half = (jnp.int32(1) << (rshift - 1))[..., None, None]
+
+    def step(acc, j):
+        xj = jax.lax.dynamic_slice_in_dim(seg, j, ns - npu, axis=-1)
+        cj = jax.lax.dynamic_slice_in_dim(c, j, 1, axis=-1)
+        return acc + cj * xj, None
+
+    pred0 = jnp.broadcast_to(half, seg.shape[:-1] + (ns - npu,)).astype(jnp.int32)
+    pred, _ = jax.lax.scan(step, pred0, jnp.arange(npu))
+    pred = pred >> rshift[..., None, None]
+    out_seg = seg.at[..., npu:].add(pred)
+    out = jnp.concatenate(
+        [out_seg.reshape(x.shape[:-1] + (body_len,)), x[..., body_len:]],
+        axis=-1)
+    return out
+
+
+def normalize_to_float(x: jnp.ndarray, bits_per_sample: int, dtype) -> jnp.ndarray:
+    return x.astype(dtype) * (2.0 ** (-(bits_per_sample - 1)))

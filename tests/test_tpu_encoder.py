@@ -1,0 +1,91 @@
+"""Fast-path (batched JAX) encoder tests: losslessness, cross-decoding with
+the reference binary, and compression parity with the exact path."""
+
+import numpy as np
+import pytest
+
+from conftest import (
+    WAVEFORMS,
+    reference_decode,
+    requires_reference,
+)
+
+from linne_tpu.codec.decoder import Decoder
+from linne_tpu.codec.encoder import TpuEncoder
+from linne_tpu.codec.params import EncodeParameter
+from linne_tpu.constants import CH_PROCESS_MS, CH_PROCESS_NONE
+from linne_tpu.io.wav import read_wav, write_wav
+
+
+def _encode(samples, bps, mode, ms, spb=10240):
+    ch, n = samples.shape
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=ch, bits_per_sample=bps, sampling_rate=44100,
+        num_samples_per_block=spb, preset=mode,
+        ch_process_method=CH_PROCESS_MS if ms else CH_PROCESS_NONE))
+    return enc.encode_whole([samples[c] for c in range(ch)], n)
+
+
+_CASES = [
+    ("sine", 10240, 2, 16, 0),
+    ("noise", 10240, 2, 16, 0),
+    ("gauss", 10240 * 2 + 1000, 2, 16, 0),
+    ("gauss", 10240, 2, 16, 4),
+    ("chirp", 10240, 1, 24, 7),
+    ("silence", 10240, 2, 16, 0),
+    ("nyquist", 10240, 2, 16, 0),
+]
+
+
+def _case_id(c):
+    wf, n, ch, bps, mode = c
+    return f"{wf}-n{n}-ch{ch}-b{bps}-m{mode}"
+
+
+@pytest.mark.parametrize("case", _CASES, ids=_case_id)
+def test_roundtrip_lossless(case):
+    wf, n, ch, bps, mode = case
+    samples = WAVEFORMS[wf](n, ch, bps)
+    data = _encode(samples, bps, mode, ms=ch >= 2)
+    decoded = Decoder().decode_whole(data)
+    for c in range(ch):
+        assert np.array_equal(decoded[c], samples[c]), f"channel {c}"
+
+
+@requires_reference
+def test_reference_decodes_fast_path(tmp_path):
+    samples = WAVEFORMS["gauss"](10240 + 4096, 2, 16)
+    data = _encode(samples, 16, 0, ms=True)
+    lnn = tmp_path / "fast.lnn"
+    lnn.write_bytes(data)
+    out_wav = tmp_path / "out.wav"
+    reference_decode(lnn, out_wav)
+    _, decoded = read_wav(str(out_wav))
+    assert np.array_equal(decoded, samples)
+
+
+@requires_reference
+def test_compression_close_to_reference(tmp_path):
+    """Fast-path coefficients may differ in low bits; compressed size must
+    stay within 0.5% of the reference encoder's."""
+    from conftest import reference_encode
+
+    rng = np.random.default_rng(5)
+    n = 10240 * 3
+    t = np.arange(n)
+    sig = (9000 * np.sin(2 * np.pi * 220 * t / 44100)
+           + rng.normal(0, 300, n)).astype(np.int32)
+    samples = np.stack([sig, (sig * 0.9 + rng.normal(0, 200, n)).astype(np.int32)])
+    samples = np.clip(samples, -32768, 32767).astype(np.int32)
+
+    wav = tmp_path / "in.wav"
+    write_wav(str(wav), samples, 44100, 16)
+    for mode in (0, 4):
+        lnn = tmp_path / f"ref{mode}.lnn"
+        reference_encode(wav, lnn, mode=mode)
+        ref_size = lnn.stat().st_size
+        ours = _encode(samples, 16, mode, ms=True)
+        ratio = len(ours) / ref_size
+        assert 0.95 < ratio < 1.005, (
+            f"mode {mode}: ours {len(ours)} vs ref {ref_size} ({ratio:.4f})")
