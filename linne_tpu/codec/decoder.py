@@ -25,6 +25,7 @@ from ..constants import (
     CH_PROCESS_MS,
     HEADER_SIZE,
 )
+from .. import native
 from ..exact.filters import lr_conversion, multistage_deemphasis
 from ..exact.intlpc import synthesize
 from ..format.block import (
@@ -79,6 +80,8 @@ class Decoder:
             return channels, bh.total_size
 
         assert bh.block_type == BLOCK_TYPE_COMPRESS
+        if native.available():
+            return self._decode_compress_native(payload, n, nch), bh.total_size
         side, residuals, _ = read_compress_payload(
             payload, nch, n, header.bits_per_sample,
             self.preset.layer_num_params, self.codebook)
@@ -93,6 +96,21 @@ class Decoder:
         if header.ch_process_method == CH_PROCESS_MS:
             lr_conversion(channels[0], channels[1])
         return channels, bh.total_size
+
+    def _decode_compress_native(self, payload: bytes, n: int,
+                                nch: int) -> List[np.ndarray]:
+        """Entropy decode + full integer reconstruction in the native host
+        library (single pass, no Python bit loops)."""
+        cb = self.codebook
+        orders = np.asarray(self.preset.layer_num_params, dtype=np.int32)
+        (residuals, coefs, log2u, rshifts, pprev, pcoef, _consumed) = (
+            native.unpack_compress_payload(
+                payload, cb.node0_array, cb.node1_array, cb.root,
+                cb.num_symbols, nch, n, self.header.bits_per_sample, orders))
+        native.synthesize_block(
+            residuals, coefs, log2u, rshifts, pprev, pcoef, orders,
+            self.header.ch_process_method == CH_PROCESS_MS)
+        return [residuals[ch] for ch in range(nch)]
 
     def decode_whole(self, data: bytes) -> List[np.ndarray]:
         header = LinneHeader.unpack(data)

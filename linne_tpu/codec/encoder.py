@@ -41,6 +41,7 @@ from ..format.header import LinneHeader
 from ..format.huffman import get_codebook
 from ..format.rice import encode_plane_with_params
 from ..format.zigzag import zigzag_encode_array, zigzag_encode_scalar
+from .. import native
 from ..ops import analysis as A
 from ..ops import intops as I
 from ..ops import rice_search as R
@@ -163,6 +164,27 @@ class TpuEncoder:
     def _write_compress_payload(self, out, block_idx: int, n: int) -> bytes:
         p = self.parameter
         nch = p.num_channels
+        if native.available():
+            nlayers = self.preset.num_layers
+            coefs = np.concatenate(
+                [np.asarray(out["int_coefs"][li][block_idx])
+                 for li in range(nlayers)], axis=-1)
+            log2u = np.stack(
+                [np.asarray(out["log2_units"][li][block_idx])
+                 for li in range(nlayers)], axis=-1).astype(np.int32)
+            rshift = np.stack(
+                [np.asarray(out["rshifts"][li][block_idx])
+                 for li in range(nlayers)], axis=-1).astype(np.int32)
+            return native.pack_compress_payload(
+                np.asarray(out["residual"][block_idx][:, :n]),
+                coefs, log2u, rshift,
+                np.asarray(out["preemph_prev"][block_idx]),
+                np.asarray(out["preemph_coef"][block_idx]),
+                np.asarray(out["rice_porder"][block_idx]),
+                np.asarray(out["rice_k2"][block_idx]),
+                self.codebook.codes_array, self.codebook.lens_array,
+                p.bits_per_sample,
+                np.asarray(self.preset.layer_num_params, dtype=np.int32))
         w = BitWriter()
         pprev = np.asarray(out["preemph_prev"][block_idx])
         pcoef = np.asarray(out["preemph_coef"][block_idx])

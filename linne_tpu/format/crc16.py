@@ -26,8 +26,24 @@ _TABLE = _build_table()
 _TABLE_LIST = _TABLE.tolist()
 
 
+_native_crc = None
+_native_checked = False
+
+
 def crc16(data: bytes, init: int = 0) -> int:
-    """Compute CRC-16/IBM of `data`."""
+    """Compute CRC-16/IBM of `data` (native fast path when available)."""
+    global _native_crc, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from .. import native as _native_mod
+
+            if _native_mod.available():
+                _native_crc = _native_mod.crc16
+        except Exception:
+            _native_crc = None
+    if _native_crc is not None and init == 0:
+        return _native_crc(data)
     crc = init
     table = _TABLE_LIST
     for b in data:

@@ -53,6 +53,15 @@ class HuffmanCodebook:
         self.codes = codes
         self.max_code_len = max(nbits for _, nbits in codes)
         self._build_decode_lut()
+        # flat arrays for the native packer/unpacker
+        self.codes_array = np.array([c for c, _ in codes], dtype=np.uint32)
+        self.lens_array = np.array([l for _, l in codes], dtype=np.uint8)
+        nnodes = self.root + 1
+        self.node0_array = np.zeros(nnodes, dtype=np.int16)
+        self.node1_array = np.zeros(nnodes, dtype=np.int16)
+        for node, (n0, n1) in children.items():
+            self.node0_array[node] = n0
+            self.node1_array[node] = n1
 
     def _build_decode_lut(self) -> None:
         """Flat decode table: index by the next `max_code_len` bits, get

@@ -1,0 +1,194 @@
+"""ctypes bindings for the native host runtime (native/linne_host.cpp).
+
+The library is compiled on demand with g++ (-O3 -fwrapv for the format's
+two's-complement wraparound semantics) and cached under native/build/. If no
+compiler is available the package falls back to the pure-Python format layer
+transparently (`available()` -> False).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_SRC = _ROOT / "native" / "linne_host.cpp"
+_BUILD_DIR = _ROOT / "native" / "build"
+_LIB_PATH = _BUILD_DIR / "linne_host.so"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_i16p = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    if (_LIB_PATH.exists()
+            and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
+             str(_SRC), "-o", str(_LIB_PATH)],
+            check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("LINNE_NO_NATIVE"):
+            return None
+        if not _build():
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+
+        lib.linne_crc16.restype = ctypes.c_uint16
+        lib.linne_crc16.argtypes = [_u8p, ctypes.c_uint64]
+
+        lib.linne_pack_compress_payload.restype = ctypes.c_int64
+        lib.linne_pack_compress_payload.argtypes = [
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _u32p, _u8p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _i32p, ctypes.c_int32, ctypes.c_int32,
+            _u8p, ctypes.c_int64,
+        ]
+
+        lib.linne_unpack_compress_payload.restype = ctypes.c_int64
+        lib.linne_unpack_compress_payload.argtypes = [
+            _u8p, ctypes.c_int64,
+            _i16p, _i16p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _i32p, ctypes.c_int32,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+        ]
+
+        lib.linne_synthesize_block.restype = None
+        lib.linne_synthesize_block.argtypes = [
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _i32p, ctypes.c_int32, ctypes.c_int32,
+        ]
+
+        lib.linne_predict_layer.restype = None
+        lib.linne_predict_layer.argtypes = [
+            _i32p, _i32p, ctypes.c_int32, _i32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def lib():
+    out = _load()
+    if out is None:
+        raise RuntimeError("native linne_host library unavailable")
+    return out
+
+
+# -- numpy-facing helpers ----------------------------------------------------
+
+
+def crc16(data: bytes) -> int:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size == 0:
+        return 0
+    return int(lib().linne_crc16(arr, arr.size))
+
+
+def pack_compress_payload(
+    residuals: np.ndarray,      # [nch, n] int32
+    coefs: np.ndarray,          # [nch, total_order] int32
+    log2_units: np.ndarray,     # [nch, nlayers] int32
+    rshifts: np.ndarray,        # [nch, nlayers] int32
+    preemph_prev: np.ndarray,   # [nch, nstages] int32
+    preemph_coef: np.ndarray,   # [nch, nstages] int32
+    porder: np.ndarray,         # [nch] int32
+    k2s: np.ndarray,            # [nch, max_parts] int32
+    huff_codes: np.ndarray,     # [256] uint32
+    huff_lens: np.ndarray,      # [256] uint8
+    bps: int,
+    orders: np.ndarray,         # [nlayers] int32
+) -> bytes:
+    nch, n = residuals.shape
+    nlayers = orders.shape[0]
+    nstages = preemph_prev.shape[1]
+    max_parts = k2s.shape[1]
+    cap = 2 * residuals.nbytes + 4096 + coefs.nbytes * 4
+    out = np.empty(cap, dtype=np.uint8)
+    size = lib().linne_pack_compress_payload(
+        np.ascontiguousarray(residuals, np.int32),
+        np.ascontiguousarray(coefs, np.int32),
+        np.ascontiguousarray(log2_units, np.int32),
+        np.ascontiguousarray(rshifts, np.int32),
+        np.ascontiguousarray(preemph_prev, np.int32),
+        np.ascontiguousarray(preemph_coef, np.int32),
+        np.ascontiguousarray(porder, np.int32),
+        np.ascontiguousarray(k2s, np.int32),
+        huff_codes, huff_lens,
+        nch, n, bps, nlayers,
+        np.ascontiguousarray(orders, np.int32), nstages, max_parts,
+        out, cap)
+    if size < 0:
+        raise RuntimeError("payload packing overflow")
+    return out[:size].tobytes()
+
+
+def unpack_compress_payload(
+    data: bytes, huff_node0: np.ndarray, huff_node1: np.ndarray,
+    huff_root: int, num_symbols: int, nch: int, n: int, bps: int,
+    orders: np.ndarray,
+):
+    nlayers = orders.shape[0]
+    nstages = 2
+    total_order = int(orders.sum())
+    arr = np.frombuffer(data, dtype=np.uint8)
+    residuals = np.empty((nch, n), dtype=np.int32)
+    coefs = np.empty((nch, total_order), dtype=np.int32)
+    log2_units = np.empty((nch, nlayers), dtype=np.int32)
+    rshifts = np.empty((nch, nlayers), dtype=np.int32)
+    pprev = np.empty((nch, nstages), dtype=np.int32)
+    pcoef = np.empty((nch, nstages), dtype=np.int32)
+    consumed = lib().linne_unpack_compress_payload(
+        arr, arr.size, huff_node0, huff_node1, huff_root, num_symbols,
+        nch, n, bps, nlayers, np.ascontiguousarray(orders, np.int32),
+        nstages, residuals, coefs, log2_units, rshifts, pprev, pcoef)
+    if consumed < 0:
+        raise RuntimeError("payload unpacking error")
+    return residuals, coefs, log2_units, rshifts, pprev, pcoef, int(consumed)
+
+
+def synthesize_block(
+    chdata: np.ndarray, coefs: np.ndarray, log2_units: np.ndarray,
+    rshifts: np.ndarray, preemph_prev: np.ndarray, preemph_coef: np.ndarray,
+    orders: np.ndarray, ms: bool,
+) -> None:
+    nch, n = chdata.shape
+    lib().linne_synthesize_block(
+        chdata, np.ascontiguousarray(coefs, np.int32),
+        np.ascontiguousarray(log2_units, np.int32),
+        np.ascontiguousarray(rshifts, np.int32),
+        np.ascontiguousarray(preemph_prev, np.int32),
+        np.ascontiguousarray(preemph_coef, np.int32),
+        nch, n, orders.shape[0], np.ascontiguousarray(orders, np.int32),
+        2, int(ms))

@@ -1,0 +1,408 @@
+// linne_host — native host runtime for the linne_tpu framework.
+//
+// The TPU owns the numeric analysis/synthesis; this library owns the serial,
+// data-dependent host stage: bit-level entropy packing/unpacking of .lnn
+// block payloads, CRC16 framing, and the integer synthesis cascade for the
+// streaming/CLI decode path.
+//
+// Wire format identical to the reference codec (see SURVEY.md §2); the
+// implementation is independent and word-oriented: a 64-bit staging
+// accumulator bit writer/reader (the reference uses a 32-bit one,
+// libs/bit_stream/include/bit_stream.h:240-351), run-length emission via
+// whole-byte stores, and LUT-free tree-walk Huffman decode fed from arrays
+// supplied by the Python layer.
+//
+// Exposed as a plain C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// ---------------------------------------------------------------- bit writer
+
+struct BitWriter {
+    uint8_t* buf;
+    int64_t cap;
+    int64_t pos = 0;       // bytes committed
+    uint64_t acc = 0;      // pending bits, left-aligned count in nbits
+    int nbits = 0;
+    bool overflow = false;
+
+    inline void commit() {
+        while (nbits >= 8) {
+            if (pos >= cap) { overflow = true; return; }
+            nbits -= 8;
+            buf[pos++] = static_cast<uint8_t>(acc >> nbits);
+        }
+        acc &= (nbits ? ((1ULL << nbits) - 1) : 0ULL);
+    }
+
+    inline void put(uint32_t val, int n) {
+        if (n == 0) return;
+        if (nbits + n > 64) commit();  // keeps nbits < 8
+        acc = (acc << n) | (val & (n >= 32 ? 0xFFFFFFFFu : ((1u << n) - 1)));
+        nbits += n;
+        if (nbits >= 56) commit();
+    }
+
+    inline void put_zeros(int64_t n) {
+        // flush pending to byte boundary mentally: emit in chunks
+        while (n >= 32) {
+            put(0, 32);
+            n -= 32;
+        }
+        if (n > 0) put(0, static_cast<int>(n));
+    }
+
+    inline void flush_byte_align() {
+        commit();
+        if (nbits > 0) {
+            if (pos >= cap) { overflow = true; return; }
+            buf[pos++] = static_cast<uint8_t>(acc << (8 - nbits));
+            acc = 0;
+            nbits = 0;
+        }
+    }
+};
+
+// ---------------------------------------------------------------- bit reader
+
+struct BitReader {
+    const uint8_t* buf;
+    int64_t size;
+    int64_t pos = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    bool error = false;
+
+    inline void fill() {
+        while (nbits <= 56 && pos < size) {
+            acc = (acc << 8) | buf[pos++];
+            nbits += 8;
+        }
+    }
+
+    inline uint32_t get(int n) {
+        if (n == 0) return 0;
+        if (nbits < n) fill();
+        if (nbits < n) { error = true; return 0; }
+        nbits -= n;
+        uint32_t v = static_cast<uint32_t>(
+            (acc >> nbits) & (n >= 32 ? 0xFFFFFFFFu : ((1ULL << n) - 1)));
+        acc &= (nbits ? ((1ULL << nbits) - 1) : 0ULL);
+        return v;
+    }
+
+    inline uint32_t get_zero_run() {
+        uint32_t run = 0;
+        for (;;) {
+            if (nbits == 0) {
+                fill();
+                if (nbits == 0) { error = true; return run; }
+            }
+            if (acc == 0) {
+                run += nbits;
+                nbits = 0;
+                continue;
+            }
+            // highest set bit position within nbits
+            int top = 63 - __builtin_clzll(acc);
+            run += static_cast<uint32_t>(nbits - 1 - top);
+            nbits = top;
+            acc &= (nbits ? ((1ULL << nbits) - 1) : 0ULL);
+            return run;
+        }
+    }
+
+    inline int64_t aligned_pos() const {
+        return pos - (nbits >> 3);
+    }
+};
+
+// -------------------------------------------------------------- primitives
+
+inline uint32_t zigzag_enc(int32_t v) {
+    return (static_cast<uint32_t>(v) << 1) ^ static_cast<uint32_t>(v >> 31);
+}
+
+inline int32_t zigzag_dec(uint32_t u) {
+    return static_cast<int32_t>(u >> 1) ^ -static_cast<int32_t>(u & 1);
+}
+
+inline void gamma_put(BitWriter& w, uint32_t val) {
+    if (val == 0) { w.put(1, 1); return; }
+    int ndigit = 32 - __builtin_clz(val + 1);
+    w.put_zeros(ndigit - 1);
+    w.put(val + 1, ndigit);
+}
+
+inline uint32_t gamma_get(BitReader& r) {
+    uint32_t ndigit = r.get_zero_run() + 1;
+    if (ndigit == 1) return 0;
+    uint32_t rest = r.get(static_cast<int>(ndigit - 1));
+    return (1u << (ndigit - 1)) + rest - 1;
+}
+
+inline void rice_put(BitWriter& w, uint32_t k1, uint32_t k2, uint32_t uval) {
+    uint32_t k1pow = 1u << k1;
+    if (uval < k1pow) {
+        w.put((1u << k1) | uval, static_cast<int>(k1 + 1));
+    } else {
+        uval -= k1pow;
+        w.put_zeros(1 + (uval >> k2));
+        w.put(1, 1);
+        w.put(uval & ((1u << k2) - 1), static_cast<int>(k2));
+    }
+}
+
+inline uint32_t rice_get(BitReader& r, uint32_t k1, uint32_t k2) {
+    uint32_t quot = r.get_zero_run();
+    if (quot == 0) return r.get(static_cast<int>(k1));
+    return r.get(static_cast<int>(k2)) + (1u << k1) + ((quot - 1) << k2);
+}
+
+const int kPreemphShift = 5;
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------------------------------------------- crc16
+
+uint16_t linne_crc16(const uint8_t* data, uint64_t size) {
+    static uint16_t table[256];
+    static bool init = false;
+    if (!init) {
+        for (uint32_t b = 0; b < 256; b++) {
+            uint16_t crc = static_cast<uint16_t>(b);
+            for (int i = 0; i < 8; i++)
+                crc = (crc & 1) ? static_cast<uint16_t>((crc >> 1) ^ 0xA001)
+                                : static_cast<uint16_t>(crc >> 1);
+            table[b] = crc;
+        }
+        init = true;
+    }
+    uint16_t crc = 0;
+    for (uint64_t i = 0; i < size; i++)
+        crc = static_cast<uint16_t>((crc >> 8) ^ table[(crc ^ data[i]) & 0xFF]);
+    return crc;
+}
+
+// ------------------------------------------------------- payload packing
+
+// Returns payload byte size, or -1 on buffer overflow.
+int64_t linne_pack_compress_payload(
+    const int32_t* residuals,     // [nch][n]
+    const int32_t* coefs,         // [nch][total_order]
+    const int32_t* log2_units,    // [nch][nlayers]
+    const int32_t* rshifts,       // [nch][nlayers]
+    const int32_t* preemph_prev,  // [nch][nstages]
+    const int32_t* preemph_coef,  // [nch][nstages]
+    const int32_t* porder,        // [nch]
+    const int32_t* k2s,           // [nch][max_parts]
+    const uint32_t* huff_codes,   // [256]
+    const uint8_t* huff_lens,     // [256]
+    int32_t nch, int32_t n, int32_t bps, int32_t nlayers,
+    const int32_t* orders, int32_t nstages, int32_t max_parts,
+    uint8_t* out, int64_t out_cap) {
+    BitWriter w{out, out_cap};
+    int32_t total_order = 0;
+    for (int l = 0; l < nlayers; l++) total_order += orders[l];
+
+    for (int ch = 0; ch < nch; ch++) {
+        for (int s = 0; s < nstages; s++) {
+            w.put(zigzag_enc(preemph_prev[ch * nstages + s]), bps + 1);
+            w.put(static_cast<uint32_t>(preemph_coef[ch * nstages + s]),
+                  kPreemphShift - 1);
+        }
+    }
+    for (int ch = 0; ch < nch; ch++) {
+        const int32_t* ccoef = coefs + ch * total_order;
+        for (int l = 0; l < nlayers; l++) {
+            w.put(static_cast<uint32_t>(log2_units[ch * nlayers + l]), 3);
+            w.put(static_cast<uint32_t>(rshifts[ch * nlayers + l]), 4);
+            for (int i = 0; i < orders[l]; i++) {
+                uint32_t sym = zigzag_enc(*ccoef++) & 0xFF;
+                w.put(huff_codes[sym], huff_lens[sym]);
+            }
+        }
+    }
+    for (int ch = 0; ch < nch; ch++) {
+        const int32_t* res = residuals + static_cast<int64_t>(ch) * n;
+        int po = porder[ch];
+        w.put(static_cast<uint32_t>(po), 10);
+        int nparts = 1 << po;
+        int nsmpl = n >> po;
+        int prevk2 = 0;
+        const int32_t* kk = k2s + static_cast<int64_t>(ch) * max_parts;
+        for (int part = 0; part < nparts; part++) {
+            int k2 = kk[part];
+            if (part == 0) {
+                w.put(static_cast<uint32_t>(k2), 5);
+            } else {
+                gamma_put(w, zigzag_enc(k2 - prevk2));
+            }
+            prevk2 = k2;
+            uint32_t uk1 = static_cast<uint32_t>(k2 + 1);
+            uint32_t uk2 = static_cast<uint32_t>(k2);
+            for (int s = 0; s < nsmpl; s++) {
+                rice_put(w, uk1, uk2, zigzag_enc(res[part * nsmpl + s]));
+            }
+            if (w.overflow) return -1;
+        }
+    }
+    w.flush_byte_align();
+    if (w.overflow) return -1;
+    return w.pos;
+}
+
+// ------------------------------------------------------ payload unpacking
+
+// Returns consumed byte count (byte-aligned), or -1 on error.
+int64_t linne_unpack_compress_payload(
+    const uint8_t* data, int64_t size,
+    const int16_t* huff_node0, const int16_t* huff_node1, int32_t huff_root,
+    int32_t num_symbols,
+    int32_t nch, int32_t n, int32_t bps, int32_t nlayers,
+    const int32_t* orders, int32_t nstages,
+    int32_t* residuals,     // [nch][n]
+    int32_t* coefs,         // [nch][total_order]
+    int32_t* log2_units,    // [nch][nlayers]
+    int32_t* rshifts,       // [nch][nlayers]
+    int32_t* preemph_prev,  // [nch][nstages]
+    int32_t* preemph_coef)  // [nch][nstages]
+{
+    BitReader r{data, size};
+    int32_t total_order = 0;
+    for (int l = 0; l < nlayers; l++) total_order += orders[l];
+
+    for (int ch = 0; ch < nch; ch++) {
+        for (int s = 0; s < nstages; s++) {
+            preemph_prev[ch * nstages + s] = zigzag_dec(r.get(bps + 1));
+            preemph_coef[ch * nstages + s] =
+                static_cast<int32_t>(r.get(kPreemphShift - 1));
+        }
+    }
+    for (int ch = 0; ch < nch; ch++) {
+        int32_t* ccoef = coefs + ch * total_order;
+        for (int l = 0; l < nlayers; l++) {
+            log2_units[ch * nlayers + l] = static_cast<int32_t>(r.get(3));
+            rshifts[ch * nlayers + l] = static_cast<int32_t>(r.get(4));
+            for (int i = 0; i < orders[l]; i++) {
+                int node = huff_root;
+                while (node >= num_symbols) {
+                    node = r.get(1) ? huff_node1[node] : huff_node0[node];
+                }
+                *ccoef++ = zigzag_dec(static_cast<uint32_t>(node));
+            }
+        }
+    }
+    for (int ch = 0; ch < nch; ch++) {
+        int32_t* res = residuals + static_cast<int64_t>(ch) * n;
+        int po = static_cast<int>(r.get(10));
+        if (po > 10) return -1;
+        int nparts = 1 << po;
+        int nsmpl = n >> po;
+        int k2 = 0;
+        for (int part = 0; part < nparts; part++) {
+            if (part == 0) {
+                k2 = static_cast<int>(r.get(5));
+            } else {
+                k2 += zigzag_dec(gamma_get(r));
+            }
+            uint32_t uk1 = static_cast<uint32_t>(k2 + 1);
+            uint32_t uk2 = static_cast<uint32_t>(k2);
+            for (int s = 0; s < nsmpl; s++) {
+                res[part * nsmpl + s] =
+                    zigzag_dec(rice_get(r, uk1, uk2));
+            }
+            if (r.error) return -1;
+        }
+    }
+    return r.aligned_pos();
+}
+
+// ------------------------------------------------- integer synthesis path
+
+// One unit-split IIR layer, in place (wire semantics of
+// linne_lpc_synthesize.c:8-83).
+static void synth_layer(int32_t* data, int n, const int32_t* coef, int order,
+                        int rshift, int num_units) {
+    int npu = order / num_units;
+    int ns = n / num_units;
+    if (ns <= npu) return;
+    int32_t half = 1 << (rshift - 1);
+    for (int u = 0; u < num_units; u++) {
+        int32_t* d = data + u * ns;
+        const int32_t* c = coef + u * npu;
+        for (int t = 0; t < ns - npu; t++) {
+            int32_t pred = half;
+            for (int j = 0; j < npu; j++) pred += c[j] * d[t + j];
+            d[t + npu] -= pred >> rshift;
+        }
+    }
+}
+
+// Full block reconstruction: reversed layer cascade + two-stage de-emphasis
+// + optional MS->LR. chdata[ch][n] holds residuals in, samples out.
+void linne_synthesize_block(
+    int32_t* chdata, const int32_t* coefs, const int32_t* log2_units,
+    const int32_t* rshifts, const int32_t* preemph_prev,
+    const int32_t* preemph_coef, int32_t nch, int32_t n, int32_t nlayers,
+    const int32_t* orders, int32_t nstages, int32_t ms) {
+    int32_t total_order = 0;
+    for (int l = 0; l < nlayers; l++) total_order += orders[l];
+    for (int ch = 0; ch < nch; ch++) {
+        int32_t* d = chdata + static_cast<int64_t>(ch) * n;
+        const int32_t* base = coefs + ch * total_order;
+        for (int l = nlayers - 1; l >= 0; l--) {
+            const int32_t* c = base;
+            for (int k = 0; k < l; k++) c += orders[k];
+            synth_layer(d, n, c, orders[l],
+                        rshifts[ch * nlayers + l],
+                        1 << log2_units[ch * nlayers + l]);
+        }
+        // de-emphasis: stage (nstages-1) inverse then ... stage 0 inverse
+        for (int s = nstages - 1; s >= 0; s--) {
+            int32_t coef = preemph_coef[ch * nstages + s];
+            if (coef == 0) continue;
+            int32_t prev = preemph_prev[ch * nstages + s];
+            for (int t = 0; t < n; t++) {
+                prev = d[t] + ((prev * coef) >> kPreemphShift);
+                d[t] = prev;
+            }
+        }
+    }
+    if (ms && nch >= 2) {
+        int32_t* m = chdata;
+        int32_t* s = chdata + n;
+        for (int t = 0; t < n; t++) {
+            m[t] -= s[t] >> 1;
+            s[t] += m[t];
+        }
+    }
+}
+
+// Encoder-side integer predict cascade for host use (tests/tools).
+void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
+                         const int32_t* coef, int32_t order, int32_t rshift,
+                         int32_t num_units) {
+    std::memcpy(residual, data, sizeof(int32_t) * n);
+    int npu = order / num_units;
+    int ns = n / num_units;
+    if (ns <= npu) return;
+    int32_t half = 1 << (rshift - 1);
+    for (int u = 0; u < num_units; u++) {
+        const int32_t* in = data + u * ns;
+        int32_t* out = residual + u * ns;
+        const int32_t* c = coef + u * npu;
+        for (int t = 0; t < ns - npu; t++) {
+            int32_t pred = half;
+            for (int j = 0; j < npu; j++) pred += c[j] * in[t + j];
+            out[t + npu] += pred >> rshift;
+        }
+    }
+}
+
+}  // extern "C"

@@ -9,11 +9,19 @@ import pathlib
 import subprocess
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment ships a sitecustomize that pre-imports jax and registers
+# the tunneled TPU ("axon") platform, so env vars alone don't stick — switch
+# the already-imported jax to an 8-device CPU mesh explicitly. TPU runs go
+# through bench.py / LINNE_TEST_TPU=1.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+if not os.environ.get("LINNE_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
