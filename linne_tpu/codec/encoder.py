@@ -68,10 +68,11 @@ class TpuEncoder:
     (reference: include/linne_encoder.h:35-61) with a batched core."""
 
     def __init__(self, config: Optional[EncoderConfig] = None,
-                 analysis_dtype=None):
+                 analysis_dtype=None, batch_blocks: int = 16):
         self.config = config or EncoderConfig()
         self.config.validate()
         self.dtype = analysis_dtype or default_analysis_dtype()
+        self.batch_blocks = batch_blocks
         self.parameter: Optional[EncodeParameter] = None
         self.preset = None
         self.codebook = None
@@ -111,7 +112,8 @@ class TpuEncoder:
         bps = p.bits_per_sample
 
         @jax.jit
-        def analyze(blocks):  # [B, C, max(n, num_analyze)] int32
+        def analyze(blocks):  # [B, C, max(n, num_analyze)] int16/int32
+            blocks = blocks.astype(jnp.int32)
             raw_sig = I.normalize_to_float(blocks[..., :n], bps, dtype)
             est = A.estimate_code_length(raw_sig, orders[0], bps)
             mean_est = jnp.sum(est, axis=-1) / est.shape[-1] / bps
@@ -149,11 +151,20 @@ class TpuEncoder:
                     unit_choices[li])
             porder, k2s = R.rice_search(
                 x, jnp.float64 if dtype == jnp.float64 else jnp.float32)
+            # compact transfer types: the tunnel D2H link is the scarce
+            # resource, not device memory
+            res16 = jnp.clip(x, -32768, 32767).astype(jnp.int16)
+            res_overflow = jnp.any(
+                (x > 32767) | (x < -32768), axis=(-2, -1))
             return dict(
                 raw=raw_flag, silent=silent_flag,
                 preemph_prev=preemph_prev, preemph_coef=preemph_coef,
-                log2_units=log2u, rshifts=rshifts, int_coefs=int_coefs,
-                residual=x, rice_porder=porder, rice_k2=k2s,
+                log2_units=[u.astype(jnp.int8) for u in log2u],
+                rshifts=[r.astype(jnp.int8) for r in rshifts],
+                int_coefs=[c.astype(jnp.int8) for c in int_coefs],
+                residual=x, residual16=res16, res_overflow=res_overflow,
+                rice_porder=porder.astype(jnp.int8),
+                rice_k2=k2s.astype(jnp.int8),
             )
 
         self._analyze_cache[key] = (analyze, num_analyze)
@@ -235,34 +246,71 @@ class TpuEncoder:
         signal = np.stack([np.asarray(c[:num_samples], dtype=np.int32)
                            for c in channels[: p.num_channels]])
 
+        # Pipeline: dispatch every batch to the device up front (JAX runs
+        # them asynchronously), then drain in order — transfers and host
+        # packing of batch i overlap device compute of batch i+1.
+        pending = []
         if num_full:
             blocks = signal[:, : num_full * spb].reshape(
                 p.num_channels, num_full, spb).transpose(1, 0, 2)
-            out += self._encode_batch(blocks, spb)
+            bb = self.batch_blocks
+            for start in range(0, num_full, bb):
+                chunk = blocks[start : start + bb]
+                real = chunk.shape[0]
+                if real < bb:
+                    # pad to the standard batch shape to avoid an extra
+                    # compile specialization; padded rows are dropped below
+                    pad = np.zeros((bb - real,) + chunk.shape[1:], np.int32)
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                pending.append(self._dispatch_batch(chunk, spb, real))
         if tail:
             fn, num_analyze = self._analyze_fn(tail)
             width = max(tail, num_analyze)
             tail_block = np.zeros((1, p.num_channels, width), dtype=np.int32)
             tail_block[0, :, :tail] = signal[:, num_full * spb :]
-            out += self._encode_batch(tail_block, tail)
+            pending.append(self._dispatch_batch(tail_block, tail))
+        for item in pending:
+            out += self._drain_batch(*item)
         return bytes(out)
 
-    def _encode_batch(self, blocks: np.ndarray, n: int) -> bytes:
-        """blocks: [B, C, >=n] int32; returns framed block bytes."""
-        p = self.parameter
+    def _dispatch_batch(self, blocks: np.ndarray, n: int,
+                        real_count: Optional[int] = None):
+        """Asynchronously launch analysis of one [B, C, >=n] batch."""
         fn, num_analyze = self._analyze_fn(n)
         width = max(n, num_analyze)
         if blocks.shape[-1] < width:
             pad = np.zeros(blocks.shape[:-1] + (width - blocks.shape[-1],),
                            dtype=np.int32)
             blocks = np.concatenate([blocks, pad], axis=-1)
-        out_dev = fn(jnp.asarray(blocks))
-        out_dev = jax.tree_util.tree_map(np.asarray, out_dev)
+        real = blocks.shape[0] if real_count is None else real_count
+        if self.parameter.bits_per_sample <= 16:
+            blocks_dev = blocks.astype(np.int16)  # halve H2D traffic
+        else:
+            blocks_dev = blocks
+        return fn(jnp.asarray(blocks_dev)), blocks, n, real
+
+    def _encode_batch(self, blocks: np.ndarray, n: int) -> bytes:
+        """blocks: [B, C, >=n] int32; returns framed block bytes."""
+        return self._drain_batch(*self._dispatch_batch(blocks, n))
+
+    def _drain_batch(self, out_dev, blocks: np.ndarray, n: int,
+                     real: int) -> bytes:
+        p = self.parameter
+        # Selective pulls: fetch the compact residual plane and fall back to
+        # the int32 plane only for blocks that overflowed int16.
+        pulled = {k: out_dev[k] for k in out_dev if k != "residual"}
+        pulled = jax.tree_util.tree_map(np.asarray, pulled)
+        overflow = pulled.pop("res_overflow")
+        res = pulled.pop("residual16").astype(np.int32)
+        for b in np.nonzero(overflow[:real])[0]:
+            res[b] = np.asarray(out_dev["residual"][b])
+        pulled["residual"] = res
+        out_dev = pulled
 
         chunks = []
         raw = out_dev["raw"]
         silent = out_dev["silent"]
-        for b in range(blocks.shape[0]):
+        for b in range(real):
             if raw[b]:
                 payload = write_raw_payload(
                     [blocks[b, ch, :n] for ch in range(p.num_channels)],

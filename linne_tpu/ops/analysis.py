@@ -97,11 +97,13 @@ def levinson_durbin(ac: jnp.ndarray, order: int, with_parcor: bool = False):
 
 def fit_unit_lpc(
     signal: jnp.ndarray, num_units: int, order_per_unit: int,
-    regular_term: float,
+    regular_term,
 ) -> jnp.ndarray:
     """Per-unit Welch-windowed LPC fit of one unit-split candidate.
 
-    signal: [..., n]; returns reversed (convolution-layout) coefficients
+    signal: [..., n]; regular_term: scalar or array broadcastable over the
+    batch dims (a [R, 1, 1] ridge axis rides through as a batch dimension).
+    Returns reversed (convolution-layout) coefficients
     [..., num_units, order_per_unit] matching the reference's parameter
     ordering (linne_network.c:310-316: h[0] oldest ... h[np-1] newest).
     """
@@ -111,7 +113,9 @@ def fit_unit_lpc(
     w = jnp.asarray(window_weights(WINDOW_WELCH, ns), dtype=signal.dtype)
     windowed = seg * w
     ac = autocorrelation(windowed, order_per_unit + 1)
-    ac = ac.at[..., 0].mul(1.0 + regular_term)
+    ridge = jnp.asarray(1.0, signal.dtype) + jnp.asarray(
+        regular_term, signal.dtype)
+    ac = ac.at[..., 0].mul(ridge)  # ridge broadcasts over ac[..., 0]
     lpc = levinson_durbin(ac, order_per_unit)
     if ns < order_per_unit:  # static: degenerate split -> zero coefficients
         lpc = jnp.zeros_like(lpc)
@@ -159,7 +163,7 @@ def candidate_units(order: int, n: int, max_units: int = 128) -> list:
 
 
 def fit_layer(
-    signal: jnp.ndarray, order: int, regular_term: float,
+    signal: jnp.ndarray, order: int, regular_term,
 ):
     """Unit-count search + fit for one layer over a batched signal.
 
@@ -207,28 +211,27 @@ def fit_network(
     refit equals the winning sweep pass, so results are cached and gathered
     rather than recomputed.
     """
-    per_ridge = []
-    final_losses = []
-    for term in ridge_terms:
-        x = signal
-        layers = []
-        for order in layer_orders:
-            log2u, flat, res, _ = fit_layer(x, order, term)
-            layers.append((log2u, flat))
-            x = res
-        final_losses.append(jnp.sum(jnp.abs(x), axis=-1) / x.shape[-1])
-        per_ridge.append(layers)
-    loss_stack = jnp.stack(final_losses, axis=0)
-    best = jnp.argmin(loss_stack, axis=0)  # [...batch]
+    nridge = len(ridge_terms)
+    batch_ndim = signal.ndim - 1
+    # ridge rides as a leading batch axis: x is [R, ...batch, n]
+    x = jnp.broadcast_to(signal[None], (nridge,) + signal.shape)
+    ridge_vec = jnp.asarray(list(ridge_terms), dtype=signal.dtype).reshape(
+        (nridge,) + (1,) * (batch_ndim + 1))  # broadcasts over [..., u]
+
+    layers = []
+    for order in layer_orders:
+        log2u, flat, res, _ = fit_layer(x, order, ridge_vec)
+        layers.append((log2u, flat))
+        x = res
+    loss = jnp.sum(jnp.abs(x), axis=-1) / x.shape[-1]  # [R, ...batch]
+    best = jnp.argmin(loss, axis=0)  # first minimum, as in C
 
     out_log2u = []
     out_params = []
-    for li in range(len(layer_orders)):
-        log2_stack = jnp.stack([r[li][0] for r in per_ridge], axis=0)
-        param_stack = jnp.stack([r[li][1] for r in per_ridge], axis=0)
-        out_log2u.append(jnp.take_along_axis(log2_stack, best[None], axis=0)[0])
+    for log2u, flat in layers:
+        out_log2u.append(jnp.take_along_axis(log2u, best[None], axis=0)[0])
         out_params.append(
-            jnp.take_along_axis(param_stack, best[None][..., None], axis=0)[0])
+            jnp.take_along_axis(flat, best[None][..., None], axis=0)[0])
     return out_log2u, out_params
 
 

@@ -80,15 +80,15 @@ def rice_search(
         nsmpl = n >> porder
         mean = sums / nsmpl
         k2 = _optimal_k2(mean)                      # [..., nparts]
-        k1 = k2 + 1
-        # per-sample code lengths under this partitioning
-        k1s = jnp.repeat(k1, nsmpl, axis=-1).astype(jnp.uint32)
-        k2s = jnp.repeat(k2, nsmpl, axis=-1).astype(jnp.uint32)
-        k1pow = (jnp.uint32(1) << k1s)
-        small = u64 < k1pow
+        # per-sample code lengths via a [parts, nsmpl] view + broadcast
+        uv = u64.reshape(u64.shape[:-1] + (nparts, nsmpl))
+        k2b = k2[..., None].astype(jnp.uint32)
+        k1b = k2b + 1
+        k1pow = (jnp.uint32(1) << k1b)
+        small = uv < k1pow
         lens = jnp.where(
-            small, k1s + 1, k2s + 2 + ((u64 - k1pow) >> k2s))
-        bits = jnp.sum(lens.astype(jnp.uint32), axis=-1)
+            small, k1b + 1, k2b + 2 + ((uv - k1pow) >> k2b))
+        bits = jnp.sum(lens.astype(jnp.uint32), axis=(-2, -1))
         # parameter header bits: 5 for the first k2, gamma(zigzag(delta))
         bits = bits + jnp.uint32(RICE_PARAMETER_BITS)
         if nparts > 1:
