@@ -54,7 +54,7 @@ def main() -> None:
 
     rate = 44100
     spb = 10240
-    num_blocks = 48
+    num_blocks = 128
     n = spb * num_blocks  # ~11.1 s of audio
     signal = make_signal(n, rate)
 

@@ -1,0 +1,132 @@
+"""Batched TPU decoder: corpus-scale reconstruction throughput.
+
+The host (native library) does the serial entropy decode of every block; the
+reconstruction IIR cascade — the decode hot loop — then runs as batched
+device scans over ALL (block, channel, unit) segments at once, grouped by
+unit count per layer (each group is one uniform [rows, ns] scan, see
+linne_tpu.ops.synthesis). De-emphasis and the MS inverse are short integer
+passes handled by the native library / numpy.
+
+For single-block latency (the player path) use codec.streaming /
+codec.decoder instead; this path optimizes whole-file and corpus decode.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import native
+from ..constants import (
+    BLOCK_TYPE_COMPRESS,
+    BLOCK_TYPE_RAW,
+    BLOCK_TYPE_SILENT,
+    CH_PROCESS_MS,
+    HEADER_SIZE,
+)
+from ..format.block import BLOCK_HEADER_SIZE, parse_block_header, read_raw_payload
+from ..format.header import LinneHeader
+from ..format.huffman import get_codebook
+from ..ops.synthesis import synthesize_rows
+from ..presets import PRESETS
+from .params import DecoderConfig
+
+
+class TpuDecoder:
+    def __init__(self, config: Optional[DecoderConfig] = None):
+        self.config = config or DecoderConfig()
+
+    def decode_whole(self, data: bytes) -> List[np.ndarray]:
+        header = LinneHeader.unpack(data)
+        preset = PRESETS[header.preset]
+        cb = get_codebook(preset.coef_freq_table)
+        orders = np.asarray(preset.layer_num_params, dtype=np.int32)
+        nch = header.num_channels
+        bps = header.bits_per_sample
+
+        # 1) host entropy decode of every block
+        blocks = []  # (start_sample, n, kind, payload arrays)
+        offset = HEADER_SIZE
+        progress = 0
+        while progress < header.num_samples and offset < len(data):
+            bh = parse_block_header(
+                data[offset:], check_crc=self.config.check_crc)
+            payload = data[offset + BLOCK_HEADER_SIZE : offset + 6 + bh.block_size]
+            n = bh.num_samples
+            if bh.block_type == BLOCK_TYPE_SILENT:
+                blocks.append((progress, n, "silent", None))
+            elif bh.block_type == BLOCK_TYPE_RAW:
+                channels, _ = read_raw_payload(payload, nch, n, bps)
+                blocks.append((progress, n, "raw", np.stack(channels)))
+            else:
+                unpacked = native.unpack_compress_payload(
+                    payload, cb.node0_array, cb.node1_array, cb.root,
+                    cb.num_symbols, nch, n, bps, orders)
+                blocks.append((progress, n, "compress", unpacked))
+            offset += bh.total_size
+            progress += n
+
+        # 2) batched device synthesis, layers in reverse, grouped by
+        #    (block length, unit count)
+        compress = [(i, b) for i, (_s, _n, kind, b) in enumerate(blocks)
+                    if kind == "compress"]
+        planes = {i: b[0] for i, b in compress}  # residuals [nch, n] (mutated)
+        for li in range(len(orders) - 1, -1, -1):
+            groups = {}
+            for i, b in compress:
+                _res, coefs, log2u, rshifts, _pp, _pc, _c = b
+                n = planes[i].shape[1]
+                for ch in range(nch):
+                    u = 1 << int(log2u[ch, li])
+                    npu = int(orders[li]) // u
+                    ns = n // u
+                    if ns <= npu:
+                        continue
+                    groups.setdefault((u, ns, npu), []).append((i, ch))
+            base_off = int(orders[:li].sum())
+            for (u, ns, npu), members in groups.items():
+                rows = []
+                crows = []
+                rsrows = []
+                for i, ch in members:
+                    _res, coefs, _l2, rshifts, _pp, _pc, _c = dict(compress)[i]
+                    seg = planes[i][ch, : u * ns].reshape(u, ns)
+                    rows.append(seg)
+                    layer_coefs = coefs[ch, base_off : base_off + orders[li]]
+                    crows.append(layer_coefs.reshape(u, npu))
+                    rsrows.append(np.full(u, rshifts[ch, li], np.int32))
+                x = jnp.asarray(np.concatenate(rows, axis=0))
+                c = jnp.asarray(np.concatenate(crows, axis=0))
+                rs = jnp.asarray(np.concatenate(rsrows, axis=0))
+                out = np.asarray(synthesize_rows(x, c, rs))
+                k = 0
+                for i, ch in members:
+                    planes[i][ch, : u * ns] = out[k : k + u].reshape(-1)
+                    k += u
+
+        # 3) de-emphasis + channel recorrelation on host
+        out = [np.zeros(header.num_samples, dtype=np.int32)
+               for _ in range(nch)]
+        for idx, (start, n, kind, b) in enumerate(blocks):
+            if kind == "silent":
+                continue
+            if kind == "raw":
+                for ch in range(nch):
+                    out[ch][start : start + n] = b[ch]
+                continue
+            _res, _coefs, _l2, _rs, pprev, pcoef, _c = b
+            plane = planes[idx]
+            for ch in range(nch):
+                native.deemphasis(plane[ch], pprev[ch], pcoef[ch])
+            if header.ch_process_method == CH_PROCESS_MS:
+                m = plane[0]
+                s = plane[1]
+                m -= s >> 1
+                s += m
+            for ch in range(nch):
+                out[ch][start : start + n] = plane[ch]
+        self.header = header
+        return out

@@ -86,6 +86,11 @@ def _load():
             _i32p, ctypes.c_int32, ctypes.c_int32,
         ]
 
+        lib.linne_deemphasis.restype = None
+        lib.linne_deemphasis.argtypes = [
+            _i32p, ctypes.c_int32, _i32p, _i32p, ctypes.c_int32,
+        ]
+
         lib.linne_predict_layer.restype = None
         lib.linne_predict_layer.argtypes = [
             _i32p, _i32p, ctypes.c_int32, _i32p, ctypes.c_int32,
@@ -176,6 +181,13 @@ def unpack_compress_payload(
     if consumed < 0:
         raise RuntimeError("payload unpacking error")
     return residuals, coefs, log2_units, rshifts, pprev, pcoef, int(consumed)
+
+
+def deemphasis(data: np.ndarray, prevs: np.ndarray, coefs: np.ndarray) -> None:
+    """In-place two-stage integer de-emphasis of one channel plane."""
+    lib().linne_deemphasis(
+        data, data.shape[0], np.ascontiguousarray(prevs, np.int32),
+        np.ascontiguousarray(coefs, np.int32), prevs.shape[0])
 
 
 def synthesize_block(

@@ -29,8 +29,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..constants import FLT_EPSILON
 from .windows import WINDOW_SIN, WINDOW_WELCH, window_weights
+
+
+def _use_pallas() -> bool:
+    # The Pallas kernels are opt-in for now: profiling showed the tunnel
+    # round-trip latency (~30ms/call), not device compute, dominates this
+    # environment, and the unit-FIR kernel still hits a Mosaic scoped-vmem
+    # limit for large orders. Enable with LINNE_FORCE_PALLAS=1.
+    return bool(os.environ.get("LINNE_FORCE_PALLAS"))
 
 
 def autocorrelation(x: jnp.ndarray, num_lags: int) -> jnp.ndarray:
@@ -112,7 +122,15 @@ def fit_unit_lpc(
     seg = signal.reshape(signal.shape[:-1] + (num_units, ns))
     w = jnp.asarray(window_weights(WINDOW_WELCH, ns), dtype=signal.dtype)
     windowed = seg * w
-    ac = autocorrelation(windowed, order_per_unit + 1)
+    if _use_pallas():
+        from . import pallas as PK
+
+        rows_shape = windowed.shape[:-1]
+        flat = windowed.reshape(-1, ns)
+        ac = PK.autocorrelation_rows(flat, order_per_unit + 1)
+        ac = ac.reshape(rows_shape + (order_per_unit + 1,))
+    else:
+        ac = autocorrelation(windowed, order_per_unit + 1)
     ridge = jnp.asarray(1.0, signal.dtype) + jnp.asarray(
         regular_term, signal.dtype)
     ac = ac.at[..., 0].mul(ridge)  # ridge broadcasts over ac[..., 0]
@@ -135,13 +153,24 @@ def unit_forward(
     n = signal.shape[-1]
     npu = params.shape[-1]
     ns = n // num_units
+    if _use_pallas():
+        from . import pallas as PK
+
+        batch_shape = signal.shape[:-1]
+        flat_x = signal.reshape(-1, n)
+        flat_p = jnp.broadcast_to(
+            params, batch_shape + (num_units, npu)).reshape(
+                -1, num_units, npu)
+        out = PK.unit_forward_rows(flat_x, flat_p, num_units)
+        return out.reshape(batch_shape + (n,))
     xp = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(npu, 0)])
-    # per-sample filter rows: repeat each unit's filter over its segment
-    pfull = jnp.repeat(params, ns, axis=-2)  # [..., n, npu]
 
     def step(acc, j):
         xj = jax.lax.dynamic_slice_in_dim(xp, j, n, axis=-1)
-        return acc + pfull[..., j] * xj, None
+        # per-step coefficient row, expanded over each unit's segment
+        pj = jax.lax.dynamic_slice_in_dim(params, j, 1, axis=-1)[..., 0]
+        coef = jnp.repeat(pj, ns, axis=-1)  # [..., n]
+        return acc + coef * xj, None
 
     pred0 = jnp.zeros_like(signal)
     pred, _ = jax.lax.scan(step, pred0, jnp.arange(npu))
@@ -173,29 +202,29 @@ def fit_layer(
     """
     n = signal.shape[-1]
     cands = candidate_units(order, n)
-    losses = []
-    flats = []
-    residuals = []
+    # running first-minimum fold: avoids materializing every candidate's
+    # residual plane at once (ncand x ridge x batch x n would not fit HBM
+    # for large block batches)
+    best_loss = None
+    best_flat = None
+    best_res = None
+    best_log2u = None
     for u in cands:
         params = fit_unit_lpc(signal, u, order // u, regular_term)
         res = unit_forward(signal, params, u)
         loss = jnp.sum(jnp.abs(res[..., 1:]), axis=-1) / n
-        losses.append(loss)
-        flats.append(params.reshape(params.shape[:-2] + (order,)))
-        residuals.append(res)
-    loss_stack = jnp.stack(losses, axis=0)       # [ncand, ...]
-    best = jnp.argmin(loss_stack, axis=0)        # first minimum, as in C
-    flat_stack = jnp.stack(flats, axis=0)        # [ncand, ..., order]
-    res_stack = jnp.stack(residuals, axis=0)     # [ncand, ..., n]
-    bexp = best[None]
-    sel_flat = jnp.take_along_axis(
-        flat_stack, bexp[..., None], axis=0)[0]
-    sel_res = jnp.take_along_axis(
-        res_stack, bexp[..., None], axis=0)[0]
-    sel_loss = jnp.take_along_axis(loss_stack, bexp, axis=0)[0]
-    log2_units = jnp.asarray(
-        np.log2(np.asarray(cands)).astype(np.int32))[best]
-    return log2_units, sel_flat, sel_res, sel_loss
+        flat = params.reshape(params.shape[:-2] + (order,))
+        log2u = jnp.full(loss.shape, (u - 1).bit_length(), dtype=jnp.int32)
+        if best_loss is None:
+            best_loss, best_flat, best_res, best_log2u = (
+                loss, flat, res, log2u)
+        else:
+            better = loss < best_loss  # strict: ties keep the earlier split
+            best_loss = jnp.where(better, loss, best_loss)
+            best_flat = jnp.where(better[..., None], flat, best_flat)
+            best_res = jnp.where(better[..., None], res, best_res)
+            best_log2u = jnp.where(better, log2u, best_log2u)
+    return best_log2u, best_flat, best_res, best_loss
 
 
 def fit_network(

@@ -384,6 +384,21 @@ void linne_synthesize_block(
     }
 }
 
+// Standalone two-stage de-emphasis (used by the TPU batch decoder, which
+// runs layer synthesis on device and the short integer recursions here).
+void linne_deemphasis(int32_t* data, int32_t n, const int32_t* prevs,
+                      const int32_t* coefs, int32_t nstages) {
+    for (int s = nstages - 1; s >= 0; s--) {
+        int32_t coef = coefs[s];
+        if (coef == 0) continue;
+        int32_t prev = prevs[s];
+        for (int t = 0; t < n; t++) {
+            prev = data[t] + ((prev * coef) >> kPreemphShift);
+            data[t] = prev;
+        }
+    }
+}
+
 // Encoder-side integer predict cascade for host use (tests/tools).
 void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
                          const int32_t* coef, int32_t order, int32_t rshift,

@@ -1,0 +1,69 @@
+"""Decoder-path equivalence: host (native), batched TPU/XLA, streaming."""
+
+import numpy as np
+import pytest
+
+from conftest import WAVEFORMS
+
+from linne_tpu.codec.decoder import Decoder
+from linne_tpu.codec.encoder import TpuEncoder
+from linne_tpu.codec.params import DecoderConfig, EncodeParameter
+from linne_tpu.codec.streaming import StreamingDecoder
+from linne_tpu.codec.tpu_decoder import TpuDecoder
+from linne_tpu.constants import CH_PROCESS_MS
+
+
+@pytest.fixture(scope="module")
+def encoded():
+    samples = WAVEFORMS["gauss"](10240 * 2 + 3333, 2, 16)
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        preset=2, ch_process_method=CH_PROCESS_MS))
+    data = enc.encode_whole([samples[0], samples[1]], samples.shape[1])
+    return samples, data
+
+
+def test_host_decoder(encoded):
+    samples, data = encoded
+    out = Decoder().decode_whole(data)
+    assert all(np.array_equal(out[c], samples[c]) for c in range(2))
+
+
+def test_tpu_batch_decoder(encoded):
+    samples, data = encoded
+    out = TpuDecoder().decode_whole(data)
+    assert all(np.array_equal(out[c], samples[c]) for c in range(2))
+
+
+def test_streaming_decoder(encoded):
+    samples, data = encoded
+    sd = StreamingDecoder(data)
+    chunks = []
+    while not sd.exhausted:
+        chunk = sd.read(1000)
+        if chunk.shape[1] == 0:
+            break
+        chunks.append(chunk)
+    out = np.concatenate(chunks, axis=1)
+    assert np.array_equal(out, samples)
+
+
+def test_streaming_decoder_tiny_reads(encoded):
+    samples, data = encoded
+    sd = StreamingDecoder(data)
+    out = sd.read(17)
+    assert np.array_equal(out, samples[:, :17])
+    out2 = sd.read(10240 * 2)
+    assert np.array_equal(out2, samples[:, 17 : 17 + 10240 * 2])
+
+
+def test_crc_check_flag(encoded):
+    _samples, data = encoded
+    corrupted = bytearray(data)
+    corrupted[len(corrupted) // 2] ^= 0xFF
+    from linne_tpu.format.block import CorruptionError
+    from linne_tpu.format.header import FormatError
+
+    with pytest.raises((CorruptionError, FormatError)):
+        Decoder(DecoderConfig(check_crc=True)).decode_whole(bytes(corrupted))
