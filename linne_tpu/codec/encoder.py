@@ -92,8 +92,13 @@ class TpuEncoder:
     # -- the jitted per-batch analysis -------------------------------------
 
     def _analyze_fn(self, n: int):
-        """Build (and cache) the jitted analysis function for block length
-        n. All loop structure (ridges, layers, unit candidates) is static."""
+        """Build (and cache) the analysis pipeline for block length n.
+
+        The pipeline is a CHAIN of jitted stages (pre-processing, one fit
+        per layer, finish) rather than one mega-jit: the stages dispatch
+        asynchronously back-to-back (no host sync between them, so the
+        chain costs one round trip like a single call would), while each
+        sub-graph compiles 10-50x faster than the fused whole."""
         key = n
         fn = self._analyze_cache.get(key)
         if fn is not None:
@@ -107,12 +112,13 @@ class TpuEncoder:
                           max(preset.max_num_params, num_analyze))
         orders = preset.layer_num_params
         ridges = preset.ridge_terms
+        nridge = len(ridges)
         unit_choices = [A.candidate_units(o, num_analyze) for o in orders]
         ms = p.ch_process_method == CH_PROCESS_MS
         bps = p.bits_per_sample
 
         @jax.jit
-        def analyze(blocks):  # [B, C, max(n, num_analyze)] int16/int32
+        def pre_stage(blocks):  # [B, C, max(n, num_analyze)] int16/int32
             blocks = blocks.astype(jnp.int32)
             raw_sig = I.normalize_to_float(blocks[..., :n], bps, dtype)
             est = A.estimate_code_length(raw_sig, orders[0], bps)
@@ -135,7 +141,38 @@ class TpuEncoder:
             preemph_coef = jnp.stack(coefs, axis=-1)
 
             sig = I.normalize_to_float(buf[..., :num_analyze], bps, dtype)
-            log2u, params = A.fit_network(sig, orders, ridges)
+            # ridge axis rides through the layer fits as a batch dimension
+            sig_r = jnp.broadcast_to(sig[None], (nridge,) + sig.shape)
+            return (raw_flag, silent_flag, preemph_prev, preemph_coef,
+                    buf, sig_r)
+
+        ridge_vec = np.asarray(ridges, dtype=np.float64)
+
+        def make_fit_stage(order):
+            @jax.jit
+            def fit_stage(sig_r):
+                rv = jnp.asarray(ridge_vec, dtype=sig_r.dtype).reshape(
+                    (nridge,) + (1,) * (sig_r.ndim - 1))
+                log2u, flat, res, loss = A.fit_layer(sig_r, order, rv)
+                return log2u, flat, res, loss
+            return fit_stage
+
+        fit_stages = [make_fit_stage(o) for o in orders]
+
+        @jax.jit
+        def finish_stage(raw_flag, silent_flag, preemph_prev, preemph_coef,
+                         buf, final_res, log2u_r, params_r):
+            # select the winning ridge (first minimum, as the reference's
+            # strict-< sweep) and gather its per-layer selections
+            final_loss = jnp.sum(jnp.abs(final_res), axis=-1) / final_res.shape[-1]
+            best = jnp.argmin(final_loss, axis=0)
+            log2u = []
+            params = []
+            for li in range(len(orders)):
+                log2u.append(jnp.take_along_axis(
+                    log2u_r[li], best[None], axis=0)[0])
+                params.append(jnp.take_along_axis(
+                    params_r[li], best[None][..., None], axis=0)[0])
 
             int_coefs = []
             rshifts = []
@@ -151,9 +188,6 @@ class TpuEncoder:
                     unit_choices[li])
             porder, k2s = R.rice_search(
                 x, jnp.float64 if dtype == jnp.float64 else jnp.float32)
-            # The tunnel charges ~30ms per host pull, so every scalar/side
-            # output is packed into ONE int32 tensor [B, C, K]; residuals
-            # travel as one int16 tensor with an int32 overflow fallback.
             res16 = jnp.clip(x, -32768, 32767).astype(jnp.int16)
             res_overflow = jnp.any(
                 (x > 32767) | (x < -32768), axis=(-2, -1))
@@ -176,6 +210,20 @@ class TpuEncoder:
             parts.append(k2s.astype(jnp.int32))
             side = jnp.concatenate(parts, axis=-1)
             return dict(side=side, residual16=res16, residual=x)
+
+        def analyze(blocks):
+            (raw_flag, silent_flag, pprev, pcoef, buf, sig_r) = (
+                pre_stage(blocks))
+            log2u_r = []
+            params_r = []
+            x = sig_r
+            for li in range(len(orders)):
+                log2u, flat, res, loss = fit_stages[li](x)
+                log2u_r.append(log2u)
+                params_r.append(flat)
+                x = res
+            return finish_stage(raw_flag, silent_flag, pprev, pcoef, buf,
+                                x, log2u_r, params_r)
 
         self._analyze_cache[key] = (analyze, num_analyze)
         return self._analyze_cache[key]
@@ -279,7 +327,7 @@ class TpuEncoder:
             tail_block[0, :, :tail] = signal[:, num_full * spb :]
             pending.append(self._dispatch_batch(tail_block, tail))
         for item in pending:
-            out += self._drain_batch(*item)
+            out += b"".join(self._drain_batch(*item))
         return bytes(out)
 
     def _dispatch_batch(self, blocks: np.ndarray, n: int,
@@ -300,7 +348,83 @@ class TpuEncoder:
 
     def _encode_batch(self, blocks: np.ndarray, n: int) -> bytes:
         """blocks: [B, C, >=n] int32; returns framed block bytes."""
-        return self._drain_batch(*self._dispatch_batch(blocks, n))
+        return b"".join(self._drain_batch(*self._dispatch_batch(blocks, n)))
+
+    def encode_many(self, tracks: Sequence[Sequence[np.ndarray]],
+                    num_samples: Sequence[int]) -> List[bytes]:
+        """Encode a corpus: full blocks from ALL tracks are batched together
+        (the TPU payoff — thousands of independent blocks per dispatch),
+        tails are grouped by length. Returns one .lnn byte string per
+        track."""
+        p = self.parameter
+        spb = p.num_samples_per_block
+        nch = p.num_channels
+
+        track_signals = []
+        placements = []  # (track, block_index_in_track) in global block order
+        all_full = []
+        tails = {}  # length -> list of (track_idx, block_idx, data)
+        for ti, (chans, ns) in enumerate(zip(tracks, num_samples)):
+            sig = np.stack([np.asarray(c[:ns], dtype=np.int32)
+                            for c in chans[:nch]])
+            track_signals.append((sig, ns))
+            nfull = ns // spb
+            for b in range(nfull):
+                all_full.append(sig[:, b * spb : (b + 1) * spb])
+                placements.append((ti, b))
+            tail = ns - nfull * spb
+            if tail:
+                tails.setdefault(tail, []).append(
+                    (ti, nfull, sig[:, nfull * spb :]))
+
+        per_track_blocks = {ti: {} for ti in range(len(tracks))}
+        # full blocks, batched across tracks
+        if all_full:
+            blocks = np.stack(all_full)
+            bb = self.batch_blocks
+            pending = []
+            for start in range(0, blocks.shape[0], bb):
+                chunk = blocks[start : start + bb]
+                real = chunk.shape[0]
+                if real < bb:
+                    pad = np.zeros((bb - real,) + chunk.shape[1:], np.int32)
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                pending.append((start, self._dispatch_batch(chunk, spb, real)))
+            for start, item in pending:
+                framed = self._drain_blocks(*item)
+                for off, block_bytes in enumerate(framed):
+                    ti, b = placements[start + off]
+                    per_track_blocks[ti][b] = block_bytes
+        # tails, grouped by length
+        for tail_len, members in tails.items():
+            batch = np.stack([m[2] for m in members])
+            fn, num_analyze = self._analyze_fn(tail_len)
+            width = max(tail_len, num_analyze)
+            if batch.shape[-1] < width:
+                pad = np.zeros(batch.shape[:-1] + (width - batch.shape[-1],),
+                               np.int32)
+                batch = np.concatenate([batch, pad], axis=-1)
+            framed = self._drain_blocks(*self._dispatch_batch(batch, tail_len))
+            for (ti, b, _), block_bytes in zip(members, framed):
+                per_track_blocks[ti][b] = block_bytes
+
+        outs = []
+        for ti, (sig, ns) in enumerate(track_signals):
+            header = LinneHeader(
+                num_channels=nch, num_samples=ns,
+                sampling_rate=p.sampling_rate,
+                bits_per_sample=p.bits_per_sample,
+                num_samples_per_block=spb, preset=p.preset,
+                ch_process_method=p.ch_process_method)
+            body = b"".join(per_track_blocks[ti][b]
+                            for b in sorted(per_track_blocks[ti]))
+            outs.append(header.pack() + body)
+        return outs
+
+    def _drain_blocks(self, out_dev, blocks, n, real=None) -> List[bytes]:
+        if real is None:
+            real = blocks.shape[0]
+        return self._drain_batch(out_dev, blocks, n, real)
 
     def _drain_batch(self, out_dev, blocks: np.ndarray, n: int,
                      real: int) -> bytes:
@@ -330,4 +454,4 @@ class TpuEncoder:
                     side[b], res[b, :, :n], n)
                 btype = BLOCK_TYPE_COMPRESS
             chunks.append(frame_block(btype, n, payload))
-        return b"".join(chunks)
+        return chunks
