@@ -80,9 +80,9 @@ class TpuEncoder:
 
     def set_encode_parameter(self, parameter: EncodeParameter) -> None:
         parameter.validate_against(self.config)
-        if parameter.enable_learning or parameter.num_afmethod_iterations:
+        if parameter.num_afmethod_iterations:
             raise NotImplementedError(
-                "learning/AF refinement not yet on the fast path; "
+                "AF (-a) refinement is exact-path only for now; "
                 "use linne_tpu.exact.ExactEncoder")
         self.parameter = parameter
         self.preset = PRESETS[parameter.preset]
@@ -160,8 +160,7 @@ class TpuEncoder:
         fit_stages = [make_fit_stage(o) for o in orders]
 
         @jax.jit
-        def finish_stage(raw_flag, silent_flag, preemph_prev, preemph_coef,
-                         buf, final_res, log2u_r, params_r):
+        def select_stage(final_res, log2u_r, params_r):
             # select the winning ridge (first minimum, as the reference's
             # strict-< sweep) and gather its per-layer selections
             final_loss = jnp.sum(jnp.abs(final_res), axis=-1) / final_res.shape[-1]
@@ -173,7 +172,25 @@ class TpuEncoder:
                     log2u_r[li], best[None], axis=0)[0])
                 params.append(jnp.take_along_axis(
                     params_r[li], best[None][..., None], axis=0)[0])
+            return log2u, params
 
+        if p.enable_learning:
+            from ..constants import (
+                TRAINING_LEARNING_RATE,
+                TRAINING_LOSS_EPSILON,
+                TRAINING_MAX_NUM_ITERATIONS,
+            )
+            from ..ops.training import make_train_fn
+
+            train_fn = jax.jit(make_train_fn(
+                orders, unit_choices, TRAINING_MAX_NUM_ITERATIONS,
+                TRAINING_LEARNING_RATE, TRAINING_LOSS_EPSILON))
+        else:
+            train_fn = None
+
+        @jax.jit
+        def finish_stage(raw_flag, silent_flag, preemph_prev, preemph_coef,
+                         buf, log2u, params):
             int_coefs = []
             rshifts = []
             for li in range(len(orders)):
@@ -222,8 +239,11 @@ class TpuEncoder:
                 log2u_r.append(log2u)
                 params_r.append(flat)
                 x = res
+            log2u_sel, params_sel = select_stage(x, log2u_r, params_r)
+            if train_fn is not None:
+                params_sel = train_fn(sig_r[0], params_sel, log2u_sel)
             return finish_stage(raw_flag, silent_flag, pprev, pcoef, buf,
-                                x, log2u_r, params_r)
+                                log2u_sel, params_sel)
 
         self._analyze_cache[key] = (analyze, num_analyze)
         return self._analyze_cache[key]

@@ -1,0 +1,87 @@
+"""Batched on-device gradient training of the per-block predictor.
+
+The reference fine-tunes every block's layer cascade with full-batch
+momentum gradient descent on the L1 residual loss, with per-block early
+stopping (reference: linne_network.c:805-873, hyperparameters
+linne_internal.h:29-33). Here the whole [blocks, channels] population trains
+in ONE device loop: a lax.while_loop carries (params, momentum, prev_loss,
+active) and converged blocks freeze via masked updates, exactly mirroring
+the reference's independent per-block stopping rule.
+
+Gradients come from jax.grad of the actual forward cascade (the reference's
+hand-rolled backward scales the input gradient by 1/order as a heuristic —
+linne_network.c:251-252 — so trained coefficients differ in low bits from
+the C encoder; output streams remain lossless either way).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .analysis import unit_forward
+
+
+def _forward_loss(params_list, log2u_list, sig, orders, unit_choices):
+    """L1 loss of the full cascade with per-(block, channel) unit counts
+    selected among the static candidates."""
+    x = sig
+    for li, order in enumerate(orders):
+        choices = unit_choices[li]
+        variants = []
+        for u in choices:
+            p = params_list[li].reshape(
+                params_list[li].shape[:-1] + (u, order // u))
+            variants.append(unit_forward(x, p, u))
+        stack = jnp.stack(variants, axis=0)
+        lut = {u: i for i, u in enumerate(choices)}
+        table = jnp.asarray(
+            [lut.get(1 << l, 0) for l in range(8)], dtype=jnp.int32)
+        idx = table[log2u_list[li]]
+        x = jnp.take_along_axis(stack, idx[None, ..., None], axis=0)[0]
+    n = x.shape[-1]
+    return jnp.sum(jnp.abs(x), axis=-1) / n  # per-(B, C) loss
+
+
+def make_train_fn(orders: Sequence[int], unit_choices,
+                  max_iters: int, learning_rate: float, loss_eps: float,
+                  alpha: float = 0.8):
+    """Returns train(sig, params_list, log2u_list) -> trained params_list."""
+
+    def total_loss(params_list, log2u_list, sig):
+        per = _forward_loss(params_list, log2u_list, sig, orders,
+                            unit_choices)
+        return jnp.sum(per), per
+
+    grad_fn = jax.grad(total_loss, has_aux=True)
+
+    def train(sig, params_list, log2u_list):
+        params0 = tuple(params_list)
+        log2u = tuple(log2u_list)
+        momentum0 = tuple(jnp.zeros_like(p) for p in params0)
+        prev0 = jnp.full(sig.shape[:-1], jnp.inf, dtype=sig.dtype)
+        active0 = jnp.ones(sig.shape[:-1], dtype=bool)
+
+        def cond(carry):
+            _p, _m, _prev, active, it = carry
+            return (it < max_iters) & jnp.any(active)
+
+        def body(carry):
+            params, momentum, prev, active, it = carry
+            grads, per_loss = grad_fn(params, log2u, sig)
+            mask = active[..., None].astype(sig.dtype)
+            new_momentum = tuple(
+                jnp.where(active[..., None], alpha * m + learning_rate * g, m)
+                for m, g in zip(momentum, grads))
+            new_params = tuple(
+                p - mask * nm for p, nm in zip(params, new_momentum))
+            active = active & (jnp.abs(per_loss - prev) >= loss_eps)
+            return (new_params, new_momentum, per_loss, active, it + 1)
+
+        params, _m, _l, _a, _i = jax.lax.while_loop(
+            cond, body, (params0, momentum0, prev0, active0, 0))
+        return list(params)
+
+    return train
