@@ -4,11 +4,14 @@ The reconstruction IIR (reference: libs/linne_decoder/src/
 linne_lpc_synthesize.c:8-83) is the one irreducibly serial loop in the
 codec: data[t+npu] -= (half + sum_j c[j]*data[t+j]) >> rshift, and the
 per-step arithmetic shift makes state-space blocking impossible bit-exactly.
-The TPU formulation keeps time sequential but runs THOUSANDS of independent
-recurrences in parallel: rows = blocks x channels x units ride the lane
-dimension, time rides the sublane dimension (dynamic sublane offsets are
-legal in Mosaic, unlike unaligned lane offsets), and one Pallas kernel scans
-the whole segment with the filter taps held in VMEM.
+
+TPU formulation: time stays sequential, but each vector op carries a FULL
+8x128 register of independent recurrences — rows (= blocks x channels x
+units) fill the 128-lane dimension AND the 8-sublane dimension, so one
+program advances up to 1024 recurrences per step. The filter window rides
+the loop carry as a tuple of [sg, 128] values (the per-step shift is SSA
+renaming, no relayouts), and time is tiled so each fori iteration does one
+dynamic load/store pair.
 
 The XLA fallback is a lax.scan with the same layout for CPU correctness
 tests; the host/native path (linne_host.cpp) remains the low-latency
@@ -27,22 +30,56 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas import _on_tpu, _use_pallas_env
 
+_TTILE = 8       # time steps per fori iteration
+_LANES = 128
+_VMEM_BUDGET = 10 << 20
 
-def _synth_kernel(x_ref, c_ref, rs_ref, out_ref, *, npu, ns):
-    """Blocks are [1, ns, LANES] time-major int32; rs [1, 1, LANES]."""
-    rshift = rs_ref[0, 0, :]
-    half = jnp.int32(1) << (rshift - 1)
+
+def _synth_kernel(x_ref, c_ref, rs_ref, out_ref, *, npu, ns, sg):
+    """Refs are [1, ns, sg, LANES] time-major int32; c [1, npu, sg, LANES];
+    rs [1, 1, sg, LANES]."""
+    one = jnp.int32(1)
+    rshift = rs_ref[0, 0]                 # [sg, LANES]
+    half = one << (rshift - one)
     out_ref[:] = x_ref[:]
-    c = c_ref[0]  # [npu, LANES]
+    c_rows = [c_ref[0, j] for j in range(npu)]  # each [sg, LANES]
 
-    def step(t, _):
-        win = out_ref[0, pl.ds(t, npu), :]  # [npu, LANES]
-        pred = jnp.sum(c * win, axis=0) + half
-        out_ref[0, pl.ds(t + npu, 1), :] = (
-            out_ref[0, pl.ds(t + npu, 1), :] - (pred >> rshift)[None, :])
-        return 0
+    npred = ns - npu
+    ntiles = npred // _TTILE
+    t8 = jnp.int32(_TTILE)
+    npu32 = jnp.int32(npu)
 
-    jax.lax.fori_loop(0, ns - npu, step, 0)
+    def tile_step(tb, rows):
+        base = npu32 + tb * t8
+        xt = x_ref[0, pl.ds(base, _TTILE)]  # [T, sg, LANES]
+        rows = list(rows)
+        ys = []
+        for k in range(_TTILE):
+            pred = half
+            for j in range(npu):
+                pred = pred + c_rows[j] * rows[j]
+            y = xt[k] - (pred >> rshift)    # [sg, LANES]
+            ys.append(y)
+            rows = rows[1:] + [y]
+        out_ref[0, pl.ds(base, _TTILE)] = jnp.stack(ys, axis=0)
+        return tuple(rows)
+
+    rows0 = tuple(x_ref[0, j] for j in range(npu))
+    rows = jax.lax.fori_loop(jnp.int32(0), jnp.int32(ntiles), tile_step,
+                             rows0)
+
+    def step(t, rows):
+        rows = list(rows)
+        pred = half
+        for j in range(npu):
+            pred = pred + c_rows[j] * rows[j]
+        tn = t + npu32
+        y = x_ref[0, pl.ds(tn, 1)][0] - (pred >> rshift)
+        out_ref[0, pl.ds(tn, 1)] = y[None]
+        return tuple(rows[1:] + [y])
+
+    jax.lax.fori_loop(jnp.int32(ntiles * _TTILE), jnp.int32(npred), step,
+                      rows)
 
 
 def synthesize_rows_tpu(x: jnp.ndarray, coefs: jnp.ndarray,
@@ -54,34 +91,47 @@ def synthesize_rows_tpu(x: jnp.ndarray, coefs: jnp.ndarray,
     npu = coefs.shape[-1]
     if ns <= npu:
         return x
-    lanes = 128
-    pad = (-rows) % lanes
+    # sublane groups per program, bounded by VMEM (in+out buffers)
+    sg = max(1, min(8, _VMEM_BUDGET // (ns * _LANES * 4 * 2)))
+    rows_per = sg * _LANES
+    pad = (-rows) % rows_per
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
         coefs = jnp.pad(coefs, ((0, pad), (0, 0)))
         rshift = jnp.pad(rshift, (0, pad), constant_values=1)
-    nlgrp = x.shape[0] // lanes
-    xt = x.reshape(nlgrp, lanes, ns).transpose(0, 2, 1)      # [G, ns, 128]
-    ct = coefs.reshape(nlgrp, lanes, npu).transpose(0, 2, 1)  # [G, npu, 128]
-    rst = rshift.reshape(nlgrp, 1, lanes)
-    kernel = functools.partial(_synth_kernel, npu=npu, ns=ns)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((nlgrp, ns, lanes), jnp.int32),
-        grid=(nlgrp,),
-        in_specs=[
-            pl.BlockSpec((1, ns, lanes), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npu, lanes), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lanes), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ns, lanes), lambda i: (i, i * 0, i * 0),
-                               memory_space=pltpu.VMEM),
-        interpret=not _on_tpu(),
-    )(xt, ct, rst)
-    out = out.transpose(0, 2, 1).reshape(-1, ns)
+    g = x.shape[0] // rows_per
+
+    def to_tsl(a, width):  # [rows, width] -> [G, width, sg, LANES]
+        return a.reshape(g, sg, _LANES, width).transpose(0, 3, 1, 2)
+
+    xt = to_tsl(x, ns)
+    ct = to_tsl(coefs, npu)
+    rst = to_tsl(rshift[:, None], 1)
+    kernel = functools.partial(_synth_kernel, npu=npu, ns=ns, sg=sg)
+    # trace without x64 so loop indices/literals stay 32-bit (Mosaic has no
+    # 64-bit types)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((g, ns, sg, _LANES), jnp.int32),
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((1, ns, sg, _LANES),
+                             lambda i: (i, i * 0, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npu, sg, _LANES),
+                             lambda i: (i, i * 0, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sg, _LANES),
+                             lambda i: (i, i * 0, i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, ns, sg, _LANES),
+                                   lambda i: (i, i * 0, i * 0, i * 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=not _on_tpu(),
+        )(xt, ct, rst)
+    out = out.transpose(0, 2, 3, 1).reshape(-1, ns)
     return out[:rows]
 
 
