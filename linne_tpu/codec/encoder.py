@@ -159,8 +159,7 @@ class TpuEncoder:
 
         fit_stages = [make_fit_stage(o) for o in orders]
 
-        @jax.jit
-        def select_stage(final_res, log2u_r, params_r):
+        def _select(final_res, log2u_r, params_r):
             # select the winning ridge (first minimum, as the reference's
             # strict-< sweep) and gather its per-layer selections
             final_loss = jnp.sum(jnp.abs(final_res), axis=-1) / final_res.shape[-1]
@@ -173,6 +172,10 @@ class TpuEncoder:
                 params.append(jnp.take_along_axis(
                     params_r[li], best[None][..., None], axis=0)[0])
             return log2u, params
+
+        @jax.jit
+        def select_stage(final_res, log2u_r, params_r):
+            return _select(final_res, log2u_r, params_r)
 
         if p.enable_learning:
             from ..constants import (
@@ -188,9 +191,8 @@ class TpuEncoder:
         else:
             train_fn = None
 
-        @jax.jit
-        def finish_stage(raw_flag, silent_flag, preemph_prev, preemph_coef,
-                         buf, log2u, params):
+        def _finish(raw_flag, silent_flag, preemph_prev, preemph_coef,
+                    buf, log2u, params):
             int_coefs = []
             rshifts = []
             for li in range(len(orders)):
@@ -228,6 +230,20 @@ class TpuEncoder:
             side = jnp.concatenate(parts, axis=-1)
             return dict(side=side, residual16=res16, residual=x)
 
+        @jax.jit
+        def finish_stage(raw_flag, silent_flag, preemph_prev, preemph_coef,
+                         buf, log2u, params):
+            return _finish(raw_flag, silent_flag, preemph_prev, preemph_coef,
+                           buf, log2u, params)
+
+        @jax.jit
+        def select_finish_stage(raw_flag, silent_flag, preemph_prev,
+                                preemph_coef, buf, final_res, log2u_r,
+                                params_r):
+            log2u, params = _select(final_res, log2u_r, params_r)
+            return _finish(raw_flag, silent_flag, preemph_prev, preemph_coef,
+                           buf, log2u, params)
+
         def analyze(blocks):
             (raw_flag, silent_flag, pprev, pcoef, buf, sig_r) = (
                 pre_stage(blocks))
@@ -239,11 +255,13 @@ class TpuEncoder:
                 log2u_r.append(log2u)
                 params_r.append(flat)
                 x = res
-            log2u_sel, params_sel = select_stage(x, log2u_r, params_r)
             if train_fn is not None:
+                log2u_sel, params_sel = select_stage(x, log2u_r, params_r)
                 params_sel = train_fn(sig_r[0], params_sel, log2u_sel)
-            return finish_stage(raw_flag, silent_flag, pprev, pcoef, buf,
-                                log2u_sel, params_sel)
+                return finish_stage(raw_flag, silent_flag, pprev, pcoef, buf,
+                                    log2u_sel, params_sel)
+            return select_finish_stage(raw_flag, silent_flag, pprev, pcoef,
+                                       buf, x, log2u_r, params_r)
 
         self._analyze_cache[key] = (analyze, num_analyze)
         return self._analyze_cache[key]
