@@ -72,7 +72,7 @@ def main() -> None:
         "round-trip mismatch")
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         data = enc.encode_whole([signal[0], signal[1]], n)
         times.append(time.perf_counter() - t0)
