@@ -15,7 +15,7 @@ quantized integers on device, mirroring linne_encoder.c:686-696).
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import List, Optional, Sequence
 
 import numpy as np

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 from .. import native
 from ..constants import (
-    BLOCK_TYPE_COMPRESS,
     BLOCK_TYPE_RAW,
     BLOCK_TYPE_SILENT,
     CH_PROCESS_MS,

@@ -35,7 +35,6 @@ from ..constants import (
     BLOCK_TYPE_RAW,
     BLOCK_TYPE_SILENT,
     LOG2_NUM_UNITS_BITWIDTH,
-    LPC_COEF_BITWIDTH,
     NUM_PREEMPH_FILTERS,
     PREEMPH_COEF_SHIFT,
     RSHIFT_BITWIDTH,

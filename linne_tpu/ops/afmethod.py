@@ -16,8 +16,6 @@ converged rows simply stop moving).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

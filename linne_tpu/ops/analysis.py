@@ -22,7 +22,6 @@ uses float64 for near-reference coefficient parity.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

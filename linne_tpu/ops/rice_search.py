@@ -15,7 +15,6 @@ import math
 from typing import Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..constants import LOG2_MAX_NUM_PARTITIONS, RICE_PARAMETER_BITS
 

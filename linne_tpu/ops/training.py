@@ -16,7 +16,7 @@ the C encoder; output streams remain lossless either way).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ plus host-side gathering of per-block byte sizes for bitstream concatenation.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Sequence
 
 import numpy as np
@@ -18,8 +18,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from ..codec.params import EncodeParameter, EncoderConfig
 
 
 def make_block_mesh(devices=None, axis_name: str = "blocks") -> Mesh:
