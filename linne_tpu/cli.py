@@ -58,8 +58,7 @@ def do_encode(args) -> int:
         enable_learning=args.enable_learning,
         num_afmethod_iterations=args.auxiliary_function_iteration,
     )
-    use_exact = (args.exact or args.enable_learning
-                 or args.auxiliary_function_iteration > 0)
+    use_exact = args.exact
     t0 = time.perf_counter()
     if use_exact:
         from .exact.encoder import ExactEncoder

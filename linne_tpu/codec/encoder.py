@@ -80,10 +80,6 @@ class TpuEncoder:
 
     def set_encode_parameter(self, parameter: EncodeParameter) -> None:
         parameter.validate_against(self.config)
-        if parameter.num_afmethod_iterations:
-            raise NotImplementedError(
-                "AF (-a) refinement is exact-path only for now; "
-                "use linne_tpu.exact.ExactEncoder")
         self.parameter = parameter
         self.preset = PRESETS[parameter.preset]
         self.codebook = get_codebook(self.preset.coef_freq_table)
@@ -160,6 +156,7 @@ class TpuEncoder:
         fit_stages = [make_fit_stage(o) for o in orders]
 
         def _select(final_res, log2u_r, params_r):
+            # (also exposes the winning ridge index for the AF chain)
             # select the winning ridge (first minimum, as the reference's
             # strict-< sweep) and gather its per-layer selections
             final_loss = jnp.sum(jnp.abs(final_res), axis=-1) / final_res.shape[-1]
@@ -171,11 +168,13 @@ class TpuEncoder:
                     log2u_r[li], best[None], axis=0)[0])
                 params.append(jnp.take_along_axis(
                     params_r[li], best[None][..., None], axis=0)[0])
-            return log2u, params
+            return log2u, params, best
 
         @jax.jit
         def select_stage(final_res, log2u_r, params_r):
-            return _select(final_res, log2u_r, params_r)
+            log2u, params, best = _select(final_res, log2u_r, params_r)
+            rv = jnp.asarray(ridge_vec, dtype=dtype)
+            return log2u, params, rv[best]
 
         if p.enable_learning:
             from ..constants import (
@@ -190,6 +189,16 @@ class TpuEncoder:
                 TRAINING_LEARNING_RATE, TRAINING_LOSS_EPSILON))
         else:
             train_fn = None
+
+        if p.num_afmethod_iterations > 0:
+            from ..ops.afmethod import make_af_layer_stage
+
+            af_stages = [
+                make_af_layer_stage(o, unit_choices[li],
+                                    p.num_afmethod_iterations)
+                for li, o in enumerate(orders)]
+        else:
+            af_stages = None
 
         def _finish(raw_flag, silent_flag, preemph_prev, preemph_coef,
                     buf, log2u, params):
@@ -240,7 +249,7 @@ class TpuEncoder:
         def select_finish_stage(raw_flag, silent_flag, preemph_prev,
                                 preemph_coef, buf, final_res, log2u_r,
                                 params_r):
-            log2u, params = _select(final_res, log2u_r, params_r)
+            log2u, params, _best = _select(final_res, log2u_r, params_r)
             return _finish(raw_flag, silent_flag, preemph_prev, preemph_coef,
                            buf, log2u, params)
 
@@ -255,9 +264,19 @@ class TpuEncoder:
                 log2u_r.append(log2u)
                 params_r.append(flat)
                 x = res
-            if train_fn is not None:
-                log2u_sel, params_sel = select_stage(x, log2u_r, params_r)
-                params_sel = train_fn(sig_r[0], params_sel, log2u_sel)
+            if af_stages is not None or train_fn is not None:
+                log2u_sel, params_sel, ridge_val = select_stage(
+                    x, log2u_r, params_r)
+                if af_stages is not None:
+                    # AF-refined final pass: refit layer-by-layer with IRLS
+                    # under the winning ridge, cascading residuals
+                    xa = sig_r[0]
+                    params_sel = []
+                    for li in range(len(orders)):
+                        flat, xa = af_stages[li](xa, log2u_sel[li], ridge_val)
+                        params_sel.append(flat)
+                if train_fn is not None:
+                    params_sel = train_fn(sig_r[0], params_sel, log2u_sel)
                 return finish_stage(raw_flag, silent_flag, pprev, pcoef, buf,
                                     log2u_sel, params_sel)
             return select_finish_stage(raw_flag, silent_flag, pprev, pcoef,

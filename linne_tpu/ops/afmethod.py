@@ -25,11 +25,9 @@ _CHUNK = 2048
 
 def _windows_chunk(data: jnp.ndarray, start: int, size: int, order: int):
     """X[t, i] = data[start + t - i - 1] for t in [0, size), i in [0, order).
-    data: [rows, ns]."""
-    # columns are shifted slices; build via stack of slices (static starts)
-    cols = [data[:, start - i - 1 : start - i - 1 + size]
-            for i in range(order)]
-    return jnp.stack(cols, axis=-1)  # [rows, size, order]
+    data: [rows, ns]. One gather keeps the graph small even for order 128."""
+    idx = (start + jnp.arange(size)[:, None]) - jnp.arange(order)[None, :] - 1
+    return data[:, idx]  # [rows, size, order]
 
 
 def af_refine(data: jnp.ndarray, a0: jnp.ndarray, num_iterations: int):
@@ -92,3 +90,47 @@ def make_af_refit_fn(order: int, num_iterations: int):
         return af_refine(data, a0, num_iterations)
 
     return refit
+
+
+def make_af_layer_stage(order: int, unit_choices, num_iterations: int):
+    """One jitted AF-refined layer pass for the encoder's `-a` path.
+
+    Mirrors the reference's final SetParameter pass with AF iterations
+    (linne_network.c:596-598, 628-629): re-initialize each unit split with
+    the (ridge-regularized) Levinson-Durbin fit, refine with IRLS, then
+    forward the layer. All unit-split candidates are evaluated and the
+    per-(block, channel) winner — already decided by the af=0 sweep, since
+    the reference's final unit search uses 0 AF iterations — is gathered.
+
+    Returns stage(x, log2u, ridge_val) -> (flat_params, residual)."""
+    from .analysis import fit_unit_lpc, unit_forward
+
+    lut_table = {u: i for i, u in enumerate(unit_choices)}
+
+    @jax.jit
+    def stage(x, log2u, ridge_val):
+        # x: [B, C, n] float; log2u: [B, C] int; ridge_val: [B, C] float
+        n = x.shape[-1]
+        flats = []
+        residuals = []
+        for u in unit_choices:
+            npu = order // u
+            ns = n // u
+            rev = fit_unit_lpc(x, u, npu, ridge_val[..., None])
+            a0 = jnp.flip(rev, axis=-1)  # natural tap order for IRLS
+            segs = x.reshape(x.shape[:-1] + (u, ns)).reshape(-1, ns)
+            a = af_refine(segs, a0.reshape(-1, npu), num_iterations)
+            a = a.reshape(a0.shape)
+            rev2 = jnp.flip(a, axis=-1)  # back to wire (reversed) layout
+            flats.append(rev2.reshape(x.shape[:-1] + (order,)))
+            residuals.append(unit_forward(x, rev2, u))
+        fstack = jnp.stack(flats, axis=0)
+        rstack = jnp.stack(residuals, axis=0)
+        table = jnp.asarray(
+            [lut_table.get(1 << l, 0) for l in range(8)], dtype=jnp.int32)
+        idx = table[log2u]
+        flat = jnp.take_along_axis(fstack, idx[None, ..., None], axis=0)[0]
+        res = jnp.take_along_axis(rstack, idx[None, ..., None], axis=0)[0]
+        return flat, res
+
+    return stage
