@@ -42,10 +42,26 @@ def _use_pallas() -> bool:
     return bool(os.environ.get("LINNE_FORCE_PALLAS"))
 
 
+_FFT_AUTOCORR_MIN_LAGS = 32
+
+
 def autocorrelation(x: jnp.ndarray, num_lags: int) -> jnp.ndarray:
     """Batched autocorrelation over the last axis: ac[..., lag] =
-    sum_t x[t] * x[t+lag] for lag in [0, num_lags)."""
+    sum_t x[t] * x[t+lag] for lag in [0, num_lags).
+
+    Two formulations: a lag scan (one pass over the signal per lag) for
+    small lag counts, and the Wiener-Khinchin FFT route for large ones —
+    at order 128 the direct form reads the signal 129 times (HBM-bound on
+    TPU) while irfft(|rfft|^2) reads it ~3 times."""
     n = x.shape[-1]
+    if num_lags >= _FFT_AUTOCORR_MIN_LAGS:
+        fft_n = 1
+        while fft_n < n + num_lags:
+            fft_n <<= 1
+        spec = jnp.fft.rfft(x, n=fft_n, axis=-1)
+        power = (spec * jnp.conj(spec)).real
+        ac = jnp.fft.irfft(power, n=fft_n, axis=-1)[..., :num_lags]
+        return ac.astype(x.dtype)
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, num_lags)])
 
     def lag_step(_, lag):
