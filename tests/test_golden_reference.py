@@ -33,6 +33,9 @@ _CASES = [
     ("chirp", 16384, 2, 24, 2),
     ("gauss", 10240 * 2 + 1000, 2, 16, 0),
     ("gauss", 10240, 2, 16, 5),
+    ("gauss", 8192, 2, 16, 1),
+    ("gauss", 8192, 2, 16, 3),
+    ("gauss", 8192, 2, 16, 6),
     ("const", 4096, 2, 16, 0),
     ("nyquist", 4096, 2, 16, 0),
 ]

@@ -81,7 +81,7 @@ def test_compression_close_to_reference(tmp_path):
 
     wav = tmp_path / "in.wav"
     write_wav(str(wav), samples, 44100, 16)
-    for mode in (0, 4):
+    for mode in (0, 1, 2, 3, 4, 5, 6, 7):
         lnn = tmp_path / f"ref{mode}.lnn"
         reference_encode(wav, lnn, mode=mode)
         ref_size = lnn.stat().st_size
