@@ -58,10 +58,15 @@ def autocorrelation(x: jnp.ndarray, num_lags: int) -> jnp.ndarray:
         fft_n = 1
         while fft_n < n + num_lags:
             fft_n <<= 1
-        spec = jnp.fft.rfft(x, n=fft_n, axis=-1)
+        # flatten batch dims to 2D and zero-pad explicitly: XLA:CPU's fft
+        # thunk RET_CHECKs on non-major operand layouts that layout
+        # assignment picks for high-rank batched ffts under a jit
+        batch_shape = x.shape[:-1]
+        xp = jnp.pad(x.reshape(-1, n), [(0, 0), (0, fft_n - n)])
+        spec = jnp.fft.rfft(xp, axis=-1)
         power = (spec * jnp.conj(spec)).real
-        ac = jnp.fft.irfft(power, n=fft_n, axis=-1)[..., :num_lags]
-        return ac.astype(x.dtype)
+        ac = jnp.fft.irfft(power, n=fft_n, axis=-1)[:, :num_lags]
+        return ac.reshape(batch_shape + (num_lags,)).astype(x.dtype)
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, num_lags)])
 
     def lag_step(_, lag):
