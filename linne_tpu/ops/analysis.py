@@ -183,6 +183,8 @@ def unit_forward(
                 -1, num_units, npu)
         out = PK.unit_forward_rows(flat_x, flat_p, num_units)
         return out.reshape(batch_shape + (n,))
+    if npu >= _FFT_AUTOCORR_MIN_LAGS:
+        return _unit_forward_fft(signal, params, num_units)
     xp = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(npu, 0)])
 
     def step(acc, j):
@@ -194,6 +196,39 @@ def unit_forward(
 
     pred0 = jnp.zeros_like(signal)
     pred, _ = jax.lax.scan(step, pred0, jnp.arange(npu))
+    out = signal + pred
+    return jnp.concatenate([signal[..., :1], out[..., 1:]], axis=-1)
+
+
+def _unit_forward_fft(signal: jnp.ndarray, params: jnp.ndarray,
+                      num_units: int) -> jnp.ndarray:
+    """unit_forward via FFT correlation: pred over a unit is the correlation
+    of its (left-context-extended) segment with its filter. One rfft/irfft
+    pair replaces npu passes over the signal for high orders."""
+    n = signal.shape[-1]
+    npu = params.shape[-1]
+    ns = n // num_units
+    batch_shape = signal.shape[:-1]
+    seg_len = ns + npu
+    fft_n = 1
+    while fft_n < seg_len:
+        fft_n <<= 1
+    # ctx[u, t] = x[u*ns - npu + t], zero history before t=0
+    xp = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(npu, 0)])
+    idx = (jnp.arange(num_units)[:, None] * ns
+           + jnp.arange(seg_len)[None, :])
+    ctx = xp[..., idx]  # [..., u, seg_len]
+    # flatten batch for the fft (XLA:CPU layout quirk, see autocorrelation)
+    flat_ctx = jnp.pad(
+        ctx.reshape(-1, seg_len), [(0, 0), (0, fft_n - seg_len)])
+    pflat = jnp.broadcast_to(params, batch_shape + (num_units, npu))
+    flat_p = jnp.pad(
+        pflat.reshape(-1, npu), [(0, 0), (0, fft_n - npu)])
+    spec = jnp.fft.rfft(flat_ctx, axis=-1) * jnp.conj(
+        jnp.fft.rfft(flat_p, axis=-1))
+    corr = jnp.fft.irfft(spec, n=fft_n, axis=-1)[:, :ns]
+    pred = corr.reshape(batch_shape + (num_units, ns)).reshape(
+        batch_shape + (n,)).astype(signal.dtype)
     out = signal + pred
     return jnp.concatenate([signal[..., :1], out[..., 1:]], axis=-1)
 
