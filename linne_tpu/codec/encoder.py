@@ -237,7 +237,15 @@ class TpuEncoder:
             parts.append(porder.astype(jnp.int32)[..., None])
             parts.append(k2s.astype(jnp.int32))
             side = jnp.concatenate(parts, axis=-1)
-            return dict(side=side, residual16=res16, residual=x)
+            # single-pull packing: the int16 residual plane rides inside the
+            # int32 side tensor (two samples per word) so a batch costs ONE
+            # host round trip (plus rare int32 overflow fallback rows)
+            if res16.shape[-1] % 2:
+                res16 = jnp.pad(res16, [(0, 0), (0, 0), (0, 1)])
+            res_words = jax.lax.bitcast_convert_type(
+                res16.reshape(B, C, -1, 2), jnp.int32)
+            packed = jnp.concatenate([side, res_words], axis=-1)
+            return dict(packed=packed, residual=x)
 
         @jax.jit
         def finish_stage(raw_flag, silent_flag, preemph_prev, preemph_coef,
@@ -296,6 +304,12 @@ class TpuEncoder:
         off_porder = off_coefs + total_order
         off_k2 = off_porder + 1
         return off_layers, off_coefs, off_porder, off_k2
+
+    def _side_width(self, n: int) -> int:
+        from ..ops.rice_search import max_porder_for
+
+        _, _, _, off_k2 = self._side_layout()
+        return off_k2 + (1 << max_porder_for(n))
 
     def _write_compress_payload(self, side_b: np.ndarray,
                                 residual_b: np.ndarray, n: int) -> bytes:
@@ -485,11 +499,14 @@ class TpuEncoder:
 
     def _drain_batch(self, out_dev, blocks: np.ndarray, n: int,
                      real: int) -> bytes:
-        """Exactly two host pulls per batch (side info + int16 residuals);
+        """ONE host pull per batch (side info + packed int16 residuals);
         int32 residual rows are fetched only for overflowed blocks."""
         p = self.parameter
-        side = np.asarray(out_dev["side"])          # [B, C, K]
-        res = np.asarray(out_dev["residual16"]).astype(np.int32)
+        side_k = self._side_width(n)
+        packed = np.asarray(out_dev["packed"])      # [B, C, K + ceil(n/2)]
+        side = packed[..., :side_k]
+        res = np.ascontiguousarray(packed[..., side_k:]).view(np.int16)
+        res = res.reshape(packed.shape[0], packed.shape[1], -1).astype(np.int32)
         raw = side[:, 0, 0] != 0
         silent = side[:, 0, 1] != 0
         overflow = side[:, 0, 2] != 0
