@@ -44,10 +44,9 @@ def test_sharded_analysis_matches_single_device():
     mesh = make_block_mesh(jax.devices()[:8])
     sharded = sharded_analyze(enc, mesh, blocks, spb)
 
-    for key in ("side", "residual16"):
-        a = np.asarray(plain[key])
-        b = np.asarray(sharded[key])
-        assert np.array_equal(a, b), key
+    a = np.asarray(plain["packed"])
+    b = np.asarray(sharded["packed"])
+    assert np.array_equal(a, b)
 
 
 def test_sharded_training_step_runs_collectives():
