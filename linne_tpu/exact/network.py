@@ -32,10 +32,10 @@ _MAX_NUM_UNITS = 1 << ((1 << LOG2_NUM_UNITS_BITWIDTH) - 1)  # 128
 def _sliding_matrix(x: np.ndarray, n: int, order: int) -> np.ndarray:
     """W[t, j] = x_padded[t - order + j], j = 0..order-1, where x_padded has
     `order` zeros of left context. Matches the reference convolution layout
-    (weights time-reversed: W[:, -1] is the previous sample)."""
+    (weights time-reversed: W[:, -1] is the previous sample). Returned as a
+    zero-copy stride view."""
     xp = np.concatenate([np.zeros(order, dtype=np.float64), x[:n]])
-    idx = np.arange(n)[:, None] + np.arange(order)[None, :]
-    return xp[idx]
+    return np.lib.stride_tricks.sliding_window_view(xp, order)[:n]
 
 
 def _unit_predictions(
