@@ -311,6 +311,9 @@ int64_t linne_unpack_compress_payload(
             } else {
                 k2 += zigzag_dec(gamma_get(r));
             }
+            // corrupt streams (decoded without CRC checking) must not drive
+            // undefined shifts; valid streams keep k2 in [0, 31)
+            if (k2 < 0 || k2 > 30) return -1;
             uint32_t uk1 = static_cast<uint32_t>(k2 + 1);
             uint32_t uk2 = static_cast<uint32_t>(k2);
             for (int s = 0; s < nsmpl; s++) {

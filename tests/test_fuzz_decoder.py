@@ -1,0 +1,73 @@
+"""Decoder robustness fuzzing: corrupted/truncated/random streams must
+raise clean errors or produce garbage output — never crash — even with CRC
+checking disabled (the reference returns enum errors and relies on CRC;
+our native unpacker additionally bounds-checks parameters)."""
+
+import numpy as np
+import pytest
+
+from conftest import WAVEFORMS
+
+from linne_tpu.codec.decoder import Decoder
+from linne_tpu.codec.encoder import TpuEncoder
+from linne_tpu.codec.params import DecoderConfig, EncodeParameter
+from linne_tpu.constants import CH_PROCESS_MS
+
+
+@pytest.fixture(scope="module")
+def stream():
+    samples = WAVEFORMS["gauss"](2560 * 2, 2, 16)
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=2560, preset=2,
+        ch_process_method=CH_PROCESS_MS))
+    return enc.encode_whole([samples[0], samples[1]], samples.shape[1])
+
+
+def _try_decode(data: bytes) -> None:
+    try:
+        Decoder(DecoderConfig(check_crc=False)).decode_whole(data)
+    except Exception:
+        pass  # clean Python exception is fine; crashing is not
+
+
+def test_random_byte_corruption(stream):
+    rng = np.random.default_rng(0)
+    data = bytearray(stream)
+    for _ in range(200):
+        mutated = bytearray(data)
+        for _ in range(int(rng.integers(1, 8))):
+            pos = int(rng.integers(30, len(mutated)))
+            mutated[pos] = int(rng.integers(0, 256))
+        _try_decode(bytes(mutated))
+
+
+def test_truncations(stream):
+    for cut in range(30, min(len(stream), 400), 7):
+        _try_decode(stream[:cut])
+
+
+def test_random_payload_after_valid_header(stream):
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        junk = rng.integers(0, 256, size=500, dtype=np.uint8).tobytes()
+        _try_decode(stream[:30] + junk)
+
+
+def test_crc_catches_corruption(stream):
+    """With CRC on (the default), every payload corruption is detected."""
+    from linne_tpu.format.block import CorruptionError
+    from linne_tpu.format.header import FormatError
+
+    rng = np.random.default_rng(2)
+    caught = 0
+    for _ in range(30):
+        mutated = bytearray(stream)
+        pos = int(rng.integers(60, len(mutated)))
+        mutated[pos] ^= 0x80
+        try:
+            Decoder(DecoderConfig(check_crc=True)).decode_whole(bytes(mutated))
+        except (CorruptionError, FormatError, RuntimeError):
+            caught += 1
+    assert caught == 30
