@@ -139,7 +139,8 @@ def pack_compress_payload(
     nlayers = orders.shape[0]
     nstages = preemph_prev.shape[1]
     max_parts = k2s.shape[1]
-    cap = 2 * residuals.nbytes + 4096 + coefs.nbytes * 4
+    # generous headroom: adversarial planes can cost several bits per sample
+    cap = 8 * residuals.nbytes + (1 << 16) + coefs.nbytes * 4
     out = np.empty(cap, dtype=np.uint8)
     size = lib().linne_pack_compress_payload(
         np.ascontiguousarray(residuals, np.int32),
