@@ -30,6 +30,7 @@ from ..exact.filters import lr_conversion, multistage_deemphasis
 from ..exact.intlpc import synthesize
 from ..format.block import (
     BLOCK_HEADER_SIZE,
+    CorruptionError,
     parse_block_header,
     read_compress_payload,
     read_raw_payload,
@@ -115,6 +116,8 @@ class Decoder:
     def decode_whole(self, data: bytes) -> List[np.ndarray]:
         header = LinneHeader.unpack(data)
         self.set_header(header)
+        if native.available():
+            return self._decode_whole_native(data)
         out = [np.zeros(header.num_samples, dtype=np.int32)
                for _ in range(header.num_channels)]
         progress = 0
@@ -127,6 +130,26 @@ class Decoder:
             progress += n
             offset += consumed
         return out
+
+    def _decode_whole_native(self, data: bytes) -> List[np.ndarray]:
+        """Single native call: block scan + CRC + entropy decode + integer
+        synthesis, threaded over independent blocks (every block carries its
+        full model state, so decode order is free)."""
+        header = self.header
+        cb = self.codebook
+        orders = np.asarray(self.preset.layer_num_params, dtype=np.int32)
+        try:
+            planes = native.decode_stream(
+                data[HEADER_SIZE:], header.num_samples,
+                cb.node0_array, cb.node1_array, cb.root, cb.num_symbols,
+                header.num_channels, header.bits_per_sample, orders,
+                header.ch_process_method == CH_PROCESS_MS,
+                self.config.check_crc, self.config.num_threads)
+        except native.StreamCrcError as e:
+            raise CorruptionError(str(e)) from e
+        except native.StreamDecodeError as e:
+            raise FormatError(str(e)) from e
+        return [planes[ch] for ch in range(header.num_channels)]
 
 
 def decode_file(path: str, config: DecoderConfig | None = None) -> Tuple[LinneHeader, List[np.ndarray]]:

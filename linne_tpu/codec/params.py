@@ -77,3 +77,6 @@ class DecoderConfig:
     max_num_layers: int = 5
     max_num_parameters_per_layer: int = 128
     check_crc: bool = True
+    # threads for whole-stream decode (blocks are independent);
+    # 0 = all hardware threads, 1 = serial
+    num_threads: int = 0

@@ -36,14 +36,19 @@ def _build() -> bool:
     if (_LIB_PATH.exists()
             and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime):
         return True
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
-             str(_SRC), "-o", str(_LIB_PATH)],
-            check=True, capture_output=True)
-        return True
-    except (OSError, subprocess.CalledProcessError):
-        return False
+    base = ["g++", "-O3", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
+            "-pthread"]
+    # the library is always built on the machine it runs on, so tune for it;
+    # fall back to generic codegen if the toolchain rejects -march=native
+    for extra in (["-march=native"], []):
+        try:
+            subprocess.run(
+                base + extra + [str(_SRC), "-o", str(_LIB_PATH)],
+                check=True, capture_output=True)
+            return True
+        except (OSError, subprocess.CalledProcessError):
+            continue
+    return False
 
 
 def _load():
@@ -89,6 +94,15 @@ def _load():
         lib.linne_deemphasis.restype = None
         lib.linne_deemphasis.argtypes = [
             _i32p, ctypes.c_int32, _i32p, _i32p, ctypes.c_int32,
+        ]
+
+        lib.linne_decode_stream.restype = ctypes.c_int32
+        lib.linne_decode_stream.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int64,
+            _i16p, _i16p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _i32p,
         ]
 
         lib.linne_predict_layer.restype = None
@@ -182,6 +196,40 @@ def unpack_compress_payload(
     if consumed < 0:
         raise RuntimeError("payload unpacking error")
     return residuals, coefs, log2_units, rshifts, pprev, pcoef, int(consumed)
+
+
+def decode_stream(
+    body: bytes,                 # stream bytes starting at the first block
+    total_samples: int,
+    huff_node0: np.ndarray, huff_node1: np.ndarray,
+    huff_root: int, num_symbols: int,
+    nch: int, bps: int, orders: np.ndarray,
+    ms: bool, check_crc: bool, num_threads: int = 0,
+) -> np.ndarray:
+    """Decode every block of a .lnn stream body into [nch, total_samples]
+    int32 planes in one native call (threaded over independent blocks).
+    Returns the planes; raises on malformed/corrupt streams with the status
+    code in the message ('crc' for CRC mismatches)."""
+    arr = np.frombuffer(body, dtype=np.uint8)
+    out = np.zeros((nch, total_samples), dtype=np.int32)
+    st = lib().linne_decode_stream(
+        arr, arr.size, total_samples, huff_node0, huff_node1, huff_root,
+        num_symbols, nch, bps, orders.shape[0],
+        np.ascontiguousarray(orders, np.int32), 2, int(ms), int(check_crc),
+        int(num_threads), out)
+    if st == -2:
+        raise StreamCrcError("block CRC mismatch")
+    if st != 0:
+        raise StreamDecodeError(f"malformed stream (status {st})")
+    return out
+
+
+class StreamDecodeError(RuntimeError):
+    pass
+
+
+class StreamCrcError(StreamDecodeError):
+    pass
 
 
 def deemphasis(data: np.ndarray, prevs: np.ndarray, coefs: np.ndarray) -> None:

@@ -14,8 +14,11 @@
 //
 // Exposed as a plain C ABI for ctypes.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -164,6 +167,71 @@ inline uint32_t rice_get(BitReader& r, uint32_t k1, uint32_t k2) {
 
 const int kPreemphShift = 5;
 
+// Core compress-payload unpack with an arbitrary per-channel residual
+// stride, so the stream decoder can write straight into the output planes.
+// Returns consumed byte count (byte-aligned), or -1 on error.
+int64_t unpack_compress_core(
+    const uint8_t* data, int64_t size,
+    const int16_t* huff_node0, const int16_t* huff_node1, int32_t huff_root,
+    int32_t num_symbols,
+    int32_t nch, int32_t n, int32_t bps, int32_t nlayers,
+    const int32_t* orders, int32_t nstages,
+    int32_t* residuals, int64_t res_stride,
+    int32_t* coefs, int32_t* log2_units, int32_t* rshifts,
+    int32_t* preemph_prev, int32_t* preemph_coef) {
+    BitReader r{data, size};
+    int32_t total_order = 0;
+    for (int l = 0; l < nlayers; l++) total_order += orders[l];
+
+    for (int ch = 0; ch < nch; ch++) {
+        for (int s = 0; s < nstages; s++) {
+            preemph_prev[ch * nstages + s] = zigzag_dec(r.get(bps + 1));
+            preemph_coef[ch * nstages + s] =
+                static_cast<int32_t>(r.get(kPreemphShift - 1));
+        }
+    }
+    for (int ch = 0; ch < nch; ch++) {
+        int32_t* ccoef = coefs + ch * total_order;
+        for (int l = 0; l < nlayers; l++) {
+            log2_units[ch * nlayers + l] = static_cast<int32_t>(r.get(3));
+            rshifts[ch * nlayers + l] = static_cast<int32_t>(r.get(4));
+            for (int i = 0; i < orders[l]; i++) {
+                int node = huff_root;
+                while (node >= num_symbols) {
+                    node = r.get(1) ? huff_node1[node] : huff_node0[node];
+                }
+                *ccoef++ = zigzag_dec(static_cast<uint32_t>(node));
+            }
+        }
+    }
+    for (int ch = 0; ch < nch; ch++) {
+        int32_t* res = residuals + ch * res_stride;
+        int po = static_cast<int>(r.get(10));
+        if (po > 10) return -1;
+        int nparts = 1 << po;
+        int nsmpl = n >> po;
+        int k2 = 0;
+        for (int part = 0; part < nparts; part++) {
+            if (part == 0) {
+                k2 = static_cast<int>(r.get(5));
+            } else {
+                k2 += zigzag_dec(gamma_get(r));
+            }
+            // corrupt streams (decoded without CRC checking) must not drive
+            // undefined shifts; valid streams keep k2 in [0, 31)
+            if (k2 < 0 || k2 > 30) return -1;
+            uint32_t uk1 = static_cast<uint32_t>(k2 + 1);
+            uint32_t uk2 = static_cast<uint32_t>(k2);
+            for (int s = 0; s < nsmpl; s++) {
+                res[part * nsmpl + s] =
+                    zigzag_dec(rice_get(r, uk1, uk2));
+            }
+            if (r.error) return -1;
+        }
+    }
+    return r.aligned_pos();
+}
+
 }  // namespace
 
 extern "C" {
@@ -273,91 +341,100 @@ int64_t linne_unpack_compress_payload(
     int32_t* preemph_prev,  // [nch][nstages]
     int32_t* preemph_coef)  // [nch][nstages]
 {
-    BitReader r{data, size};
-    int32_t total_order = 0;
-    for (int l = 0; l < nlayers; l++) total_order += orders[l];
-
-    for (int ch = 0; ch < nch; ch++) {
-        for (int s = 0; s < nstages; s++) {
-            preemph_prev[ch * nstages + s] = zigzag_dec(r.get(bps + 1));
-            preemph_coef[ch * nstages + s] =
-                static_cast<int32_t>(r.get(kPreemphShift - 1));
-        }
-    }
-    for (int ch = 0; ch < nch; ch++) {
-        int32_t* ccoef = coefs + ch * total_order;
-        for (int l = 0; l < nlayers; l++) {
-            log2_units[ch * nlayers + l] = static_cast<int32_t>(r.get(3));
-            rshifts[ch * nlayers + l] = static_cast<int32_t>(r.get(4));
-            for (int i = 0; i < orders[l]; i++) {
-                int node = huff_root;
-                while (node >= num_symbols) {
-                    node = r.get(1) ? huff_node1[node] : huff_node0[node];
-                }
-                *ccoef++ = zigzag_dec(static_cast<uint32_t>(node));
-            }
-        }
-    }
-    for (int ch = 0; ch < nch; ch++) {
-        int32_t* res = residuals + static_cast<int64_t>(ch) * n;
-        int po = static_cast<int>(r.get(10));
-        if (po > 10) return -1;
-        int nparts = 1 << po;
-        int nsmpl = n >> po;
-        int k2 = 0;
-        for (int part = 0; part < nparts; part++) {
-            if (part == 0) {
-                k2 = static_cast<int>(r.get(5));
-            } else {
-                k2 += zigzag_dec(gamma_get(r));
-            }
-            // corrupt streams (decoded without CRC checking) must not drive
-            // undefined shifts; valid streams keep k2 in [0, 31)
-            if (k2 < 0 || k2 > 30) return -1;
-            uint32_t uk1 = static_cast<uint32_t>(k2 + 1);
-            uint32_t uk2 = static_cast<uint32_t>(k2);
-            for (int s = 0; s < nsmpl; s++) {
-                res[part * nsmpl + s] =
-                    zigzag_dec(rice_get(r, uk1, uk2));
-            }
-            if (r.error) return -1;
-        }
-    }
-    return r.aligned_pos();
+    return unpack_compress_core(
+        data, size, huff_node0, huff_node1, huff_root, num_symbols,
+        nch, n, bps, nlayers, orders, nstages,
+        residuals, static_cast<int64_t>(n),
+        coefs, log2_units, rshifts, preemph_prev, preemph_coef);
 }
 
 // ------------------------------------------------- integer synthesis path
 
+}  // extern "C" — C++ helpers below (templates can't take C linkage)
+
 // One unit-split IIR layer, in place (wire semantics of
-// linne_lpc_synthesize.c:8-83).
+// linne_lpc_synthesize.c:8-83; implementation is chunk-split, see below).
+
+// Straight recurrence — fastest for tiny orders where the chunked split's
+// bookkeeping dominates.
+static void synth_unit_plain(int32_t* data, int n, const int32_t* coef,
+                             int npu, int rshift) {
+    int32_t half = 1 << (rshift - 1);
+    for (int t = 0; t < n - npu; t++) {
+        int32_t pred = half;
+        for (int j = 0; j < npu; j++) pred += coef[j] * data[t + j];
+        data[t + npu] -= pred >> rshift;
+    }
+}
+
+// Chunked recurrence, requires npu >= K: for each K-output chunk, the
+// contributions from already-final samples form K independent dot products
+// (vectorizable — the plain loop's read-after-write hazard defeats the
+// autovectorizer), and only the KxK/2 within-chunk triangle stays serial.
+// Bit-exact: int32 addition is associative under -fwrapv.
+template <int K>
+static void synth_unit_chunked(int32_t* data, int n, const int32_t* coef,
+                               int npu, int rshift) {
+    int32_t half = 1 << (rshift - 1);
+    int npred = n - npu;
+    int t = 0;
+    int32_t pre[K];
+    for (; t + K <= npred; t += K) {
+        const int32_t* base = data + t;
+        for (int m = 0; m < K; m++) {
+            int32_t s = 0;
+            const int32_t* dm = base + m;
+            int lim = npu - m;  // > 0 because npu >= K > m
+            for (int j = 0; j < lim; j++) s += coef[j] * dm[j];
+            pre[m] = s;
+        }
+        int32_t* y = data + t + npu;
+        for (int m = 0; m < K; m++) {
+            int32_t s = pre[m] + half;
+            const int32_t* ctail = coef + npu - m;
+            for (int k = 0; k < m; k++) s += ctail[k] * y[k];
+            y[m] -= s >> rshift;
+        }
+    }
+    for (; t < npred; t++) {
+        int32_t pred = half;
+        for (int j = 0; j < npu; j++) pred += coef[j] * data[t + j];
+        data[t + npu] -= pred >> rshift;
+    }
+}
+
 static void synth_layer(int32_t* data, int n, const int32_t* coef, int order,
                         int rshift, int num_units) {
     int npu = order / num_units;
     int ns = n / num_units;
     if (ns <= npu) return;
-    int32_t half = 1 << (rshift - 1);
     for (int u = 0; u < num_units; u++) {
         int32_t* d = data + u * ns;
         const int32_t* c = coef + u * npu;
-        for (int t = 0; t < ns - npu; t++) {
-            int32_t pred = half;
-            for (int j = 0; j < npu; j++) pred += c[j] * d[t + j];
-            d[t + npu] -= pred >> rshift;
-        }
+        if (npu >= 16)
+            synth_unit_chunked<16>(d, ns, c, npu, rshift);
+        else if (npu >= 8)
+            synth_unit_chunked<8>(d, ns, c, npu, rshift);
+        else
+            synth_unit_plain(d, ns, c, npu, rshift);
     }
 }
 
+extern "C" {
+
 // Full block reconstruction: reversed layer cascade + two-stage de-emphasis
-// + optional MS->LR. chdata[ch][n] holds residuals in, samples out.
-void linne_synthesize_block(
-    int32_t* chdata, const int32_t* coefs, const int32_t* log2_units,
-    const int32_t* rshifts, const int32_t* preemph_prev,
-    const int32_t* preemph_coef, int32_t nch, int32_t n, int32_t nlayers,
-    const int32_t* orders, int32_t nstages, int32_t ms) {
+// + optional MS->LR. Channel ch's plane is chdata + ch*stride, length n
+// (residuals in, samples out).
+static void synthesize_block_core(
+    int32_t* chdata, int64_t stride, const int32_t* coefs,
+    const int32_t* log2_units, const int32_t* rshifts,
+    const int32_t* preemph_prev, const int32_t* preemph_coef, int32_t nch,
+    int32_t n, int32_t nlayers, const int32_t* orders, int32_t nstages,
+    int32_t ms) {
     int32_t total_order = 0;
     for (int l = 0; l < nlayers; l++) total_order += orders[l];
     for (int ch = 0; ch < nch; ch++) {
-        int32_t* d = chdata + static_cast<int64_t>(ch) * n;
+        int32_t* d = chdata + ch * stride;
         const int32_t* base = coefs + ch * total_order;
         for (int l = nlayers - 1; l >= 0; l--) {
             const int32_t* c = base;
@@ -379,12 +456,22 @@ void linne_synthesize_block(
     }
     if (ms && nch >= 2) {
         int32_t* m = chdata;
-        int32_t* s = chdata + n;
+        int32_t* s = chdata + stride;
         for (int t = 0; t < n; t++) {
             m[t] -= s[t] >> 1;
             s[t] += m[t];
         }
     }
+}
+
+void linne_synthesize_block(
+    int32_t* chdata, const int32_t* coefs, const int32_t* log2_units,
+    const int32_t* rshifts, const int32_t* preemph_prev,
+    const int32_t* preemph_coef, int32_t nch, int32_t n, int32_t nlayers,
+    const int32_t* orders, int32_t nstages, int32_t ms) {
+    synthesize_block_core(chdata, static_cast<int64_t>(n), coefs, log2_units,
+                          rshifts, preemph_prev, preemph_coef, nch, n,
+                          nlayers, orders, nstages, ms);
 }
 
 // Standalone two-stage de-emphasis (used by the TPU batch decoder, which
@@ -400,6 +487,199 @@ void linne_deemphasis(int32_t* data, int32_t n, const int32_t* prevs,
             data[t] = prev;
         }
     }
+}
+
+// ------------------------------------------------------- stream decoding
+
+// Whole-stream decode: block scan + per-block (CRC, entropy decode,
+// synthesis) with optional threading over independent blocks — every block
+// carries its full model state, so block decode order is free
+// (reference decodes serially: libs/linne_decoder/src/linne_decoder.c, the
+// block loop in LINNEDecoder_DecodeWhole; this runtime exploits the
+// block-standalone property instead).
+//
+// `data` is the stream body starting at the first block (after the global
+// header). Output planes are out + ch*total_samples. Returns 0 on success,
+// -1 malformed stream, -2 CRC mismatch, -3 corrupt payload.
+
+namespace {
+
+struct BlockRec {
+    int64_t off;      // offset of the sync word
+    int64_t start;    // first output sample index
+    int32_t type;
+    int32_t n;        // num_samples
+    int32_t bsize;    // stored block_size (payload + 5)
+};
+
+inline uint16_t be16(const uint8_t* p) {
+    return static_cast<uint16_t>((p[0] << 8) | p[1]);
+}
+inline uint32_t be32(const uint8_t* p) {
+    return (static_cast<uint32_t>(p[0]) << 24) |
+           (static_cast<uint32_t>(p[1]) << 16) |
+           (static_cast<uint32_t>(p[2]) << 8) | p[3];
+}
+
+int32_t decode_raw_payload(const uint8_t* p, int64_t psize, int32_t nch,
+                           int32_t n, int32_t bps, int32_t* out,
+                           int64_t stride) {
+    int bytes_per = bps / 8;
+    if (psize < static_cast<int64_t>(nch) * n * bytes_per) return -3;
+    for (int64_t t = 0; t < n; t++) {
+        for (int ch = 0; ch < nch; ch++) {
+            uint32_t u;
+            if (bps == 8) {
+                u = *p++;
+            } else if (bps == 16) {
+                u = be16(p);
+                p += 2;
+            } else {  // 24
+                u = (static_cast<uint32_t>(p[0]) << 16) |
+                    (static_cast<uint32_t>(p[1]) << 8) | p[2];
+                p += 3;
+            }
+            out[ch * stride + t] = zigzag_dec(u);
+        }
+    }
+    return 0;
+}
+
+struct StreamParams {
+    const uint8_t* data;
+    const int16_t* huff_node0;
+    const int16_t* huff_node1;
+    int32_t huff_root, num_symbols;
+    int32_t nch, bps, nlayers;
+    const int32_t* orders;
+    int32_t nstages, ms, check_crc;
+    int32_t* out;
+    int64_t total_samples;
+    int32_t total_order;
+};
+
+int32_t decode_one_block(const StreamParams& sp, const BlockRec& b,
+                         int32_t* coefs, int32_t* log2u, int32_t* rshifts,
+                         int32_t* pprev, int32_t* pcoef) {
+    const uint8_t* blk = sp.data + b.off;
+    if (sp.check_crc) {
+        uint16_t stored = be16(blk + 6);
+        uint16_t actual = linne_crc16(blk + 8, b.bsize - 2);
+        if (stored != actual) return -2;
+    }
+    int32_t* planes = sp.out + b.start;
+    const int64_t stride = sp.total_samples;
+    const uint8_t* payload = blk + 11;
+    int64_t psize = static_cast<int64_t>(b.bsize) - 5;
+    if (b.type == 1) {  // silent
+        for (int ch = 0; ch < sp.nch; ch++)
+            std::memset(planes + ch * stride, 0, sizeof(int32_t) * b.n);
+        return 0;
+    }
+    if (b.type == 2) {  // raw
+        return decode_raw_payload(payload, psize, sp.nch, b.n, sp.bps,
+                                  planes, stride);
+    }
+    // compress
+    int64_t consumed = unpack_compress_core(
+        payload, psize, sp.huff_node0, sp.huff_node1, sp.huff_root,
+        sp.num_symbols, sp.nch, b.n, sp.bps, sp.nlayers, sp.orders,
+        sp.nstages, planes, stride, coefs, log2u, rshifts, pprev, pcoef);
+    if (consumed < 0) return -3;
+    synthesize_block_core(planes, stride, coefs, log2u, rshifts, pprev,
+                          pcoef, sp.nch, b.n, sp.nlayers, sp.orders,
+                          sp.nstages, sp.ms);
+    return 0;
+}
+
+}  // namespace
+
+int32_t linne_decode_stream(
+    const uint8_t* data, int64_t size, int64_t total_samples,
+    const int16_t* huff_node0, const int16_t* huff_node1, int32_t huff_root,
+    int32_t num_symbols,
+    int32_t nch, int32_t bps, int32_t nlayers, const int32_t* orders,
+    int32_t nstages, int32_t ms, int32_t check_crc, int32_t num_threads,
+    int32_t* out) {
+    int32_t total_order = 0;
+    for (int l = 0; l < nlayers; l++) total_order += orders[l];
+
+    // 1) serial block scan (headers only)
+    std::vector<BlockRec> blocks;
+    int64_t pos = 0, progress = 0;
+    while (progress < total_samples && pos < size) {
+        if (size - pos < 11) return -1;
+        if (be16(data + pos) != 0xFFFF) return -1;
+        int64_t bsize = be32(data + pos + 2);
+        int32_t type = data[pos + 8];
+        int32_t ns = be16(data + pos + 9);
+        if (bsize < 5 || pos + 6 + bsize > size) return -1;
+        if (type > 2) return -1;
+        if (progress + ns > total_samples) return -1;
+        blocks.push_back(BlockRec{pos, progress, type, ns,
+                                  static_cast<int32_t>(bsize)});
+        pos += bsize + 6;
+        progress += ns;
+    }
+
+    StreamParams sp{data,    huff_node0, huff_node1, huff_root,
+                    num_symbols, nch,    bps,        nlayers,
+                    orders,  nstages,    ms,         check_crc,
+                    out,     total_samples, total_order};
+
+    int nthreads = num_threads;
+    if (nthreads <= 0) {
+        nthreads = static_cast<int>(std::thread::hardware_concurrency());
+        if (nthreads <= 0) nthreads = 1;
+    }
+    if (nthreads > 32) nthreads = 32;
+    if (static_cast<size_t>(nthreads) > blocks.size())
+        nthreads = static_cast<int>(blocks.size());
+
+    const int scratch = nch * (total_order + 2 * nlayers + 2 * nstages);
+    if (nthreads <= 1) {
+        std::vector<int32_t> s(scratch);
+        int32_t* coefs = s.data();
+        int32_t* log2u = coefs + nch * total_order;
+        int32_t* rsh = log2u + nch * nlayers;
+        int32_t* pprev = rsh + nch * nlayers;
+        int32_t* pcoef = pprev + nch * nstages;
+        for (const BlockRec& b : blocks) {
+            int32_t st = decode_one_block(sp, b, coefs, log2u, rsh, pprev,
+                                          pcoef);
+            if (st) return st;
+        }
+        return 0;
+    }
+
+    std::atomic<size_t> next{0};
+    std::atomic<int32_t> err{0};
+    auto worker = [&]() {
+        std::vector<int32_t> s(scratch);
+        int32_t* coefs = s.data();
+        int32_t* log2u = coefs + nch * total_order;
+        int32_t* rsh = log2u + nch * nlayers;
+        int32_t* pprev = rsh + nch * nlayers;
+        int32_t* pcoef = pprev + nch * nstages;
+        for (;;) {
+            size_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= blocks.size()) break;
+            if (err.load(std::memory_order_relaxed)) break;
+            int32_t st = decode_one_block(sp, blocks[i], coefs, log2u, rsh,
+                                          pprev, pcoef);
+            if (st) {
+                int32_t expect = 0;
+                err.compare_exchange_strong(expect, st);
+                break;
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    pool.reserve(nthreads - 1);
+    for (int i = 0; i < nthreads - 1; i++) pool.emplace_back(worker);
+    worker();
+    for (auto& t : pool) t.join();
+    return err.load();
 }
 
 // Encoder-side integer predict cascade for host use (tests/tools).
