@@ -246,6 +246,122 @@ class LpcState:
         return length
 
 
+    # -- Burg method --------------------------------------------------------
+
+    def calculate_coef_burg(self, data: np.ndarray, n: int,
+                            order: int) -> np.ndarray:
+        """Burg-method fit via the autocovariance recursion
+        (reference: lpc.c:664-807, the enabled branch). Operates on the raw
+        data (no window). Returns lpc_coef[:order] (a copy).
+
+        cov[i][i+l] is the autocorrelation of the first n-i samples at lag l;
+        each reflection step minimizes forward+backward prediction error.
+        """
+        data = np.asarray(data, dtype=np.float64)
+        # autocovariance table, serial sums like LPC_CalculateAutoCorrelation
+        cov = np.zeros((order + 1, order + 1), dtype=np.float64)
+        for i in range(order + 1):
+            d = data[: n - i]
+            for lag in range(order + 1 - i):
+                cov[i, i + lag] = _serial_sum(d[: d.shape[0] - lag] * d[lag:])
+            for j in range(i + 1, order + 1):
+                cov[j, i] = cov[i, j]
+
+        a = np.zeros(order + 1, dtype=np.float64)
+        a[0] = 1.0
+        diag = np.diag(cov)
+        for k in range(order):
+            ak = a[: k + 1]
+            # Fk + Bk: serial diagonal chain, then the strict upper triangle
+            # doubled (reference accumulates both in i-major order)
+            fkbk = _serial_sum(ak * ak * (diag[: k + 1] + diag[k + 1 - np.arange(k + 1)]))
+            ij = np.triu_indices(k + 1, 1)
+            if ij[0].size:
+                terms = (a[ij[0]] * a[ij[1]]
+                         * (cov[ij[0], ij[1]] + cov[k + 1 - ij[0], k + 1 - ij[1]]))
+                fkbk += 2.0 * _serial_sum(terms)
+            # Ck: full (k+1)x(k+1) sum, i-major serial
+            ci = np.arange(k + 1)
+            ck = _serial_sum(
+                (ak[:, None] * ak[None, :] * cov[np.ix_(ci, k + 1 - ci)]).reshape(-1))
+            mu = -2.0 * ck / fkbk
+            for i in range((k + 1) // 2 + 1):
+                t1, t2 = a[i], a[k + 1 - i]
+                a[i] = t1 + mu * t2
+                a[k + 1 - i] = mu * t1 + t2
+        self.lpc_coef[:order] = a[1: order + 1]
+        return self.lpc_coef[:order].copy()
+
+    # -- MDL ----------------------------------------------------------------
+
+    def calculate_mdl(self, data: np.ndarray, n: int, order: int,
+                      window_type: int = WINDOW_SIN) -> float:
+        """Minimum description length of an order-`order` fit
+        (reference: lpc.c:868-900): n * sum_{k=1..order} ln(1-parcor[k]^2)
+        + order * ln(n). Like EstimateCodeLength, the k=order term reads
+        parcor_coef[order], one past what Levinson-Durbin writes (the
+        stale-arena quirk in the module docstring)."""
+        self.calculate_coef(data, n, order, window_type, 0.0)
+        tmp = 0.0
+        for k in range(1, order + 1):
+            p = float(self.parcor_coef[k])
+            tmp += math.log(1.0 - p * p)
+        tmp *= n
+        tmp += order * math.log(n)
+        return tmp
+
+    # -- LPC <-> PARCOR -----------------------------------------------------
+
+    def convert_lpc_to_parcor(self, lpc_coef: np.ndarray,
+                              order: int) -> np.ndarray:
+        """Downward Levinson recursion LPC -> PARCOR
+        (reference: lpc.c:903-937). Returns parcor[:order] (a copy)."""
+        tmp = np.array(lpc_coef[:order], dtype=np.float64)
+        parcor = np.empty(order, dtype=np.float64)
+        for i in range(order - 1, -1, -1):
+            gamma = float(tmp[i])
+            parcor[i] = -gamma
+            prev = tmp[:i].copy()
+            denom = 1.0 - gamma * gamma
+            for k in range(i):
+                tmp[k] = (prev[k] - gamma * prev[i - k - 1]) / denom
+        return parcor
+
+    def quantize_coefficients_as_parcor(
+        self, lpc_coef: np.ndarray, order: int, nbits_precision: int
+    ) -> np.ndarray:
+        """LPC -> PARCOR -> fixed-point with round-half-away and boundary
+        clamp (reference: lpc.c:940-978)."""
+        qmax = 1 << (nbits_precision - 1)
+        parcor = self.convert_lpc_to_parcor(lpc_coef, order)
+        self.parcor_coef[:order] = parcor
+        out = np.empty(order, dtype=np.int32)
+        scale = math.pow(2.0, nbits_precision - 1)
+        for i in range(order):
+            q = int(_c_round(float(parcor[i]) * scale))
+            if q >= qmax:
+                q = qmax - 1
+            elif q < -qmax:
+                q = -qmax
+            out[i] = q
+        return out
+
+
+def convert_parcor_to_lpc(parcor_coef: np.ndarray, order: int) -> np.ndarray:
+    """Upward recursion PARCOR -> LPC — the inverse of
+    LpcState.convert_lpc_to_parcor (reference keeps this only in its test
+    harness, test/lpc/main.cpp:108-143)."""
+    lpc = np.zeros(order, dtype=np.float64)
+    lpc[0] = -float(parcor_coef[0])
+    for i in range(1, order):
+        gamma = -float(parcor_coef[i])
+        prev = lpc[:i].copy()
+        for k in range(i):
+            lpc[k] = prev[k] + gamma * prev[i - k - 1]
+        lpc[i] = gamma
+    return lpc
+
+
 def _log2(d: float) -> float:
     # The reference computes log2 as log(d) * (1/ln 2) (lpc.c:54-60).
     return math.log(d) * _INV_LOGE2
