@@ -68,11 +68,20 @@ class TpuEncoder:
     (reference: include/linne_encoder.h:35-61) with a batched core."""
 
     def __init__(self, config: Optional[EncoderConfig] = None,
-                 analysis_dtype=None, batch_blocks: int = 64):
+                 analysis_dtype=None, batch_blocks: int = 64, mesh=None):
+        """`mesh`: an optional jax.sharding.Mesh with a 'blocks' axis. When
+        set, every dispatched batch is sharded over it — blocks are fully
+        independent (SURVEY.md §2, linne_encoder.c:637), so the analysis
+        partitions with zero collectives and output bytes are identical to
+        the single-device encode."""
         self.config = config or EncoderConfig()
         self.config.validate()
         self.dtype = analysis_dtype or default_analysis_dtype()
         self.batch_blocks = batch_blocks
+        self.mesh = mesh
+        if mesh is not None:
+            ndev = int(np.prod(mesh.devices.shape))
+            self.batch_blocks = _roundup(batch_blocks, ndev)
         self.parameter: Optional[EncodeParameter] = None
         self.preset = None
         self.codebook = None
@@ -357,7 +366,7 @@ class TpuEncoder:
     # -- public API ---------------------------------------------------------
 
     def encode_whole(self, channels: Sequence[np.ndarray],
-                     num_samples: int) -> bytes:
+                     num_samples: int, progress_cb=None) -> bytes:
         if self.parameter is None:
             raise RuntimeError("set_encode_parameter not called")
         p = self.parameter
@@ -397,8 +406,12 @@ class TpuEncoder:
             tail_block = np.zeros((1, p.num_channels, width), dtype=np.int32)
             tail_block[0, :, :tail] = signal[:, num_full * spb :]
             pending.append(self._dispatch_batch(tail_block, tail))
+        done = 0
         for item in pending:
             out += b"".join(self._drain_batch(*item))
+            done += item[3] * item[2]  # real blocks * block length
+            if progress_cb is not None:
+                progress_cb(min(done, num_samples), num_samples)
         return bytes(out)
 
     def _dispatch_batch(self, blocks: np.ndarray, n: int,
@@ -415,6 +428,20 @@ class TpuEncoder:
             blocks_dev = blocks.astype(np.int16)  # halve H2D traffic
         else:
             blocks_dev = blocks
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = int(np.prod(self.mesh.devices.shape))
+            pad_rows = (-blocks_dev.shape[0]) % ndev
+            if pad_rows:
+                blocks_dev = np.concatenate(
+                    [blocks_dev,
+                     np.zeros((pad_rows,) + blocks_dev.shape[1:],
+                              blocks_dev.dtype)], axis=0)
+            axis = self.mesh.axis_names[0]
+            arr = jax.device_put(
+                blocks_dev, NamedSharding(self.mesh, P(axis, None, None)))
+            return fn(arr), blocks, n, real
         return fn(jnp.asarray(blocks_dev)), blocks, n, real
 
     def _encode_batch(self, blocks: np.ndarray, n: int) -> bytes:

@@ -80,16 +80,14 @@ def training_step_fn(layer_orders: Sequence[int], n: int, dtype,
 
 def make_sharded_train_step(mesh: Mesh, layer_orders: Sequence[int], n: int,
                             dtype=jnp.float32, axis_name: str = "blocks"):
-    from jax.experimental.shard_map import shard_map
-
     local = training_step_fn(layer_orders, n, dtype, axis_name)
     nlayers = len(layer_orders)
     pspec_params = [P(axis_name, None, None)] * nlayers
     pspec_sig = P(axis_name, None, None)
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         local, mesh=mesh,
         in_specs=(tuple(pspec_params), pspec_sig, tuple(pspec_params)),
         out_specs=(tuple(pspec_params), tuple(pspec_params), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
