@@ -7,10 +7,10 @@ decoded on demand. Decode must beat realtime per block — the native host
 synthesis path does (hundreds of x realtime), so the render thread never
 starves.
 
-No OS audio backend is bundled (the reference ships PulseAudio/WASAPI/
-CoreAudio backends); `StreamingDecoder.read()` is the backend-agnostic pull
-API a playback backend calls from its render callback, and `play()` hooks
-into `simpleaudio`/`sounddevice` if one happens to be installed.
+`StreamingDecoder.read()` is the backend-agnostic pull API a playback
+backend calls from its render callback; the bundled backends (sounddevice /
+OS pipe players / file sink — the host-side counterparts of the reference's
+PulseAudio/WASAPI/CoreAudio backends) live in `linne_tpu.player`.
 """
 
 from __future__ import annotations
@@ -79,34 +79,16 @@ class StreamingDecoder:
             filled += take
         return out[:, :filled]
 
-    def play(self, chunk_frames: int = 4096) -> None:
-        """Convenience playback loop through an available audio backend."""
-        try:
-            import sounddevice as sd
-        except ImportError as e:
-            raise RuntimeError(
-                "no audio backend available (install sounddevice); "
-                "use read() from your own callback instead") from e
-        bps = self.header.bits_per_sample
-        shift = 16 - bps
+    def play(self, chunk_frames: int = 4096, backend=None) -> None:
+        """Convenience playback through a `linne_tpu.player` backend (first
+        available one if none is given)."""
+        from ..player import Player, SounddeviceBackend, pick_backend
 
-        def callback(outdata, frames, _time, _status):
-            chunk = self.read(frames)
-            pcm = chunk.T.astype(np.int32)
-            pcm = pcm << shift if shift >= 0 else pcm >> -shift
-            outdata[: pcm.shape[0]] = pcm.astype(np.int16)
-            if pcm.shape[0] < frames:
-                outdata[pcm.shape[0] :] = 0
-                raise sd.CallbackStop()
-
-        with sd.OutputStream(
-                samplerate=self.header.sampling_rate,
-                channels=self.num_channels, dtype="int16",
-                blocksize=chunk_frames, callback=callback):
-            import time as _time
-
-            while not self.exhausted:
-                _time.sleep(0.05)
+        backend = backend or pick_backend()
+        if isinstance(backend, SounddeviceBackend):
+            backend.play_stream(self, chunk_frames)
+        else:
+            Player(self, backend).run(chunk_frames)
 
 
 def open_file(path: str, config: Optional[DecoderConfig] = None) -> StreamingDecoder:
