@@ -41,8 +41,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="Use the bit-exact host encoder (byte-identical "
                         "with the reference C encoder)")
     p.add_argument("-V", "--verbose", action="store_true")
-    p.add_argument("input")
-    p.add_argument("output")
+    p.add_argument("-v", "--version", action="store_true",
+                   help="Show version information")
+    p.add_argument("input", nargs="?")
+    p.add_argument("output", nargs="?")
     return p
 
 
@@ -59,6 +61,11 @@ def do_encode(args) -> int:
         num_afmethod_iterations=args.auxiliary_function_iteration,
     )
     use_exact = args.exact
+
+    def progress(done, total):  # per-block/batch progress like the C CLI
+        print(f"progress... {100.0 * done / total:.2f}% \r", end="",
+              flush=True)
+
     t0 = time.perf_counter()
     if use_exact:
         from .exact.encoder import ExactEncoder
@@ -66,18 +73,22 @@ def do_encode(args) -> int:
         enc = ExactEncoder(EncoderConfig())
         enc.set_encode_parameter(param)
         data = enc.encode_whole(
-            [samples[c] for c in range(fmt.num_channels)], fmt.num_samples)
+            [samples[c] for c in range(fmt.num_channels)], fmt.num_samples,
+            progress_cb=progress)
     else:
         from .codec.encoder import TpuEncoder
 
         enc = TpuEncoder(EncoderConfig())
         enc.set_encode_parameter(param)
         data = enc.encode_whole(
-            [samples[c] for c in range(fmt.num_channels)], fmt.num_samples)
+            [samples[c] for c in range(fmt.num_channels)], fmt.num_samples,
+            progress_cb=progress)
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:
         f.write(data)
-    in_size = samples.nbytes // 4 * (fmt.bits_per_sample // 8) + 44
+    import os
+
+    in_size = os.path.getsize(args.input)
     print(f"finished: {in_size} -> {len(data)} "
           f"({100.0 * len(data) / in_size:6.2f} %)")
     if args.verbose:
@@ -108,9 +119,15 @@ def do_decode(args) -> int:
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
-    if args.encode == args.decode:
-        print("specify exactly one of -e (encode) / -d (decode)",
-              file=sys.stderr)
+    if args.version:
+        from .constants import CODEC_VERSION
+
+        print("LINNE -- LInear-predictive Neural Net Encoder "
+              f"Version.{CODEC_VERSION} (linne_tpu)")
+        return 0
+    if args.encode == args.decode or args.input is None or args.output is None:
+        print("specify exactly one of -e (encode) / -d (decode) "
+              "plus input and output files", file=sys.stderr)
         return 1
     return do_encode(args) if args.encode else do_decode(args)
 

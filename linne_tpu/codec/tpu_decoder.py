@@ -72,6 +72,7 @@ class TpuDecoder:
         #    (block length, unit count)
         compress = [(i, b) for i, (_s, _n, kind, b) in enumerate(blocks)
                     if kind == "compress"]
+        by_idx = dict(compress)
         planes = {i: b[0] for i, b in compress}  # residuals [nch, n] (mutated)
         for li in range(len(orders) - 1, -1, -1):
             groups = {}
@@ -91,7 +92,7 @@ class TpuDecoder:
                 crows = []
                 rsrows = []
                 for i, ch in members:
-                    _res, coefs, _l2, rshifts, _pp, _pc, _c = dict(compress)[i]
+                    _res, coefs, _l2, rshifts, _pp, _pc, _c = by_idx[i]
                     seg = planes[i][ch, : u * ns].reshape(u, ns)
                     rows.append(seg)
                     layer_coefs = coefs[ch, base_off : base_off + orders[li]]

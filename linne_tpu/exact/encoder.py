@@ -192,7 +192,7 @@ class ExactEncoder:
         return frame_block(block_type, n, payload)
 
     def encode_whole(self, channels: Sequence[np.ndarray],
-                     num_samples: int) -> bytes:
+                     num_samples: int, progress_cb=None) -> bytes:
         if self.parameter is None:
             raise RuntimeError("set_encode_parameter not called")
         p = self.parameter
@@ -213,4 +213,6 @@ class ExactEncoder:
                 [c[progress : progress + n] for c in channels], n)
             out += block
             progress += n
+            if progress_cb is not None:
+                progress_cb(progress, num_samples)
         return bytes(out)

@@ -88,6 +88,23 @@ class BitReader:
         self._acc &= (1 << self._nbits) - 1
         return val
 
+    def peek(self, nbits: int) -> int:
+        """Return the next `nbits` bits without consuming them, zero-padded
+        past end of buffer (for LUT-based decoders that overscan)."""
+        data = self._data
+        end = len(data)
+        while self._nbits < nbits and self._pos < end:
+            self._acc = (self._acc << 8) | data[self._pos]
+            self._pos += 1
+            self._nbits += 8
+        if self._nbits >= nbits:
+            return (self._acc >> (self._nbits - nbits)) & ((1 << nbits) - 1)
+        return (self._acc << (nbits - self._nbits)) & ((1 << nbits) - 1)
+
+    def skip(self, nbits: int) -> None:
+        """Consume `nbits` bits (raises at end of buffer like get)."""
+        self.get(nbits)
+
     def get_zero_run_length(self) -> int:
         """Count zero bits until (and consuming) the next 1 bit."""
         run = 0

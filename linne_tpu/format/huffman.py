@@ -79,8 +79,8 @@ class HuffmanCodebook:
                 sym[base : base + (1 << shift)] = s
                 length[base : base + (1 << shift)] = nbits
             self.lut_bits = maxlen
-            self.lut_sym = sym
-            self.lut_len = length
+            self.lut_sym = sym.tolist()  # plain lists: faster scalar lookup
+            self.lut_len = length.tolist()
         else:
             self.lut_bits = 0
             self.lut_sym = None
@@ -91,11 +91,13 @@ class HuffmanCodebook:
         writer.put(code, nbits)
 
     def get(self, reader: BitReader) -> int:
+        """Decode one symbol: peek max_code_len bits, single LUT lookup,
+        consume the code length (tree walk only if the table overflows)."""
         if self.lut_sym is None:
             return self._get_treewalk(reader)
-        # peek-based LUT decode is awkward on the simple reader; walk bits
-        # through progressively instead (still table-free of recursion).
-        return self._get_treewalk(reader)
+        idx = reader.peek(self.lut_bits)
+        reader.skip(self.lut_len[idx])
+        return self.lut_sym[idx]
 
     def _get_treewalk(self, reader: BitReader) -> int:
         node = self.root
