@@ -1,18 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: mode-7 encode throughput on one TPU chip.
+"""Headline benchmark: mode-7 encode + mode-0/7 decode on one TPU chip.
 
-Prints exactly one JSON line:
+Prints exactly one JSON line. Headline metric (kept stable across rounds):
   {"metric": "mode7_encode_realtime_x", "value": ..., "unit": "x_realtime",
    "vs_baseline": ...}
+plus supplementary fields: encode_msamples_s, decode_mode0_realtime_x,
+decode_mode7_realtime_x, decode_mode7_msamples_s and their vs-C ratios.
 
-Baseline: the reference C encoder's mode-7 mean encode time over the RWC
-corpus is 14.3959% of track realtime, i.e. ~6.947x realtime on one CPU core
-(BASELINE.md). `vs_baseline` is our realtime multiple divided by that.
+Baselines (BASELINE.md, reference C on the RWC corpus): mode-7 encode
+14.3959% of realtime (~6.947x); decode 0.2280% (m0) / 0.2861% (m7) of
+realtime (~439x / ~350x) on one CPU core. `vs_baseline` is our realtime
+multiple divided by the C multiple.
 
 The bench encodes synthetic but audio-like stereo 16-bit/44.1kHz material
 (mixed detuned partials + pink-ish noise) end-to-end: device analysis (one
-batched dispatch for all blocks) + native host entropy packing; the first
-encode warms up compilation and is excluded.
+batched dispatch for all blocks) + native host entropy packing; decode runs
+the native whole-stream decoder (block scan + entropy + vectorized
+synthesis). First runs warm up compilation and are excluded.
 """
 
 import json
@@ -21,7 +25,8 @@ import time
 
 import numpy as np
 
-BASELINE_REALTIME_X = 100.0 / 14.3959  # C reference, mode 7
+BASELINE_REALTIME_X = 100.0 / 14.3959  # C reference encode, mode 7
+BASELINE_DECODE_X = {0: 100.0 / 0.2280, 7: 100.0 / 0.2861}  # C decode
 
 
 def make_signal(num_samples: int, rate: int = 44100) -> np.ndarray:
@@ -54,11 +59,13 @@ def main() -> None:
 
     rate = 44100
     spb = 10240
-    num_blocks = 128
-    n = spb * num_blocks  # ~11.1 s of audio
+    num_blocks = 256
+    n = spb * num_blocks  # ~59.4 s of audio
     signal = make_signal(n, rate)
 
-    enc = TpuEncoder()
+    # batch_blocks=128 won the measured sweep (tools/profile_encode.py):
+    # two in-flight batches overlap device compute with D2H + host packing
+    enc = TpuEncoder(batch_blocks=128)
     enc.set_encode_parameter(EncodeParameter(
         num_channels=2, bits_per_sample=16, sampling_rate=rate,
         num_samples_per_block=spb, preset=7, ch_process_method=1))
@@ -80,11 +87,38 @@ def main() -> None:
     audio_seconds = n / rate
     realtime_x = audio_seconds / best
 
+    # -- decode: native whole-stream path, modes 0 and 7 --------------------
+    def decode_bench(mode, stream):
+        dec = Decoder()
+        out = dec.decode_whole(stream)
+        assert all(np.array_equal(out[c], signal[c]) for c in range(2))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            dec.decode_whole(stream)
+            ts.append(time.perf_counter() - t0)
+        return audio_seconds / min(ts)
+
+    enc0 = TpuEncoder()
+    enc0.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=rate,
+        num_samples_per_block=spb, preset=0, ch_process_method=1))
+    data0 = enc0.encode_whole([signal[0], signal[1]], n)
+    dec0_x = decode_bench(0, data0)
+    dec7_x = decode_bench(7, data)
+
+    msamp = 2 * n / 1e6  # stereo samples in the track
     print(json.dumps({
         "metric": "mode7_encode_realtime_x",
         "value": round(realtime_x, 2),
         "unit": "x_realtime",
         "vs_baseline": round(realtime_x / BASELINE_REALTIME_X, 2),
+        "encode_msamples_s": round(msamp / best, 2),
+        "decode_mode0_realtime_x": round(dec0_x, 1),
+        "decode_mode0_vs_c": round(dec0_x / BASELINE_DECODE_X[0], 2),
+        "decode_mode7_realtime_x": round(dec7_x, 1),
+        "decode_mode7_vs_c": round(dec7_x / BASELINE_DECODE_X[7], 2),
+        "decode_mode7_msamples_s": round(msamp * dec7_x / audio_seconds, 1),
     }))
     print(
         f"# platform={jax.devices()[0].platform} device={jax.devices()[0]} "

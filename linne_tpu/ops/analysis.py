@@ -28,19 +28,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import os
-
 from ..constants import FLT_EPSILON
 from .windows import WINDOW_SIN, WINDOW_WELCH, window_weights
 
-
-def _use_pallas() -> bool:
-    # The Pallas kernels are opt-in for now: profiling showed the tunnel
-    # round-trip latency (~30ms/call), not device compute, dominates this
-    # environment, and the unit-FIR kernel still hits a Mosaic scoped-vmem
-    # limit for large orders. Enable with LINNE_FORCE_PALLAS=1.
-    return bool(os.environ.get("LINNE_FORCE_PALLAS"))
-
+# NOTE on kernel choice: hand-written Pallas versions of autocorrelation /
+# unit-FIR / integer predict were benchmarked against these XLA formulations
+# at production shapes on the real chip (docs/PROFILE_r2.md) — every variant
+# completes inside the host round-trip floor, i.e. device compute is not the
+# encode bottleneck, so the XLA formulations are the single production path.
 
 _FFT_AUTOCORR_MIN_LAGS = 32
 
@@ -142,15 +137,7 @@ def fit_unit_lpc(
     seg = signal.reshape(signal.shape[:-1] + (num_units, ns))
     w = jnp.asarray(window_weights(WINDOW_WELCH, ns), dtype=signal.dtype)
     windowed = seg * w
-    if _use_pallas():
-        from . import pallas as PK
-
-        rows_shape = windowed.shape[:-1]
-        flat = windowed.reshape(-1, ns)
-        ac = PK.autocorrelation_rows(flat, order_per_unit + 1)
-        ac = ac.reshape(rows_shape + (order_per_unit + 1,))
-    else:
-        ac = autocorrelation(windowed, order_per_unit + 1)
+    ac = autocorrelation(windowed, order_per_unit + 1)
     ridge = jnp.asarray(1.0, signal.dtype) + jnp.asarray(
         regular_term, signal.dtype)
     ac = ac.at[..., 0].mul(ridge)  # ridge broadcasts over ac[..., 0]
@@ -173,16 +160,6 @@ def unit_forward(
     n = signal.shape[-1]
     npu = params.shape[-1]
     ns = n // num_units
-    if _use_pallas():
-        from . import pallas as PK
-
-        batch_shape = signal.shape[:-1]
-        flat_x = signal.reshape(-1, n)
-        flat_p = jnp.broadcast_to(
-            params, batch_shape + (num_units, npu)).reshape(
-                -1, num_units, npu)
-        out = PK.unit_forward_rows(flat_x, flat_p, num_units)
-        return out.reshape(batch_shape + (n,))
     if npu >= _FFT_AUTOCORR_MIN_LAGS:
         return _unit_forward_fft(signal, params, num_units)
     xp = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(npu, 0)])

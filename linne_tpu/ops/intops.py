@@ -74,24 +74,12 @@ def _predict_fixed_units(
 ) -> jnp.ndarray:
     """FIR residual for a fixed unit split. The first order//num_units
     samples of each unit and any remainder tail pass through."""
-    from .analysis import _use_pallas
-
     n = x.shape[-1]
     order = coefs.shape[-1]
     npu = order // num_units
     ns = n // num_units
     if ns <= npu:
         return x
-    if _use_pallas():
-        from . import pallas as PK
-
-        batch_shape = x.shape[:-1]
-        flat_x = x.reshape(-1, n)
-        flat_c = jnp.broadcast_to(
-            coefs, batch_shape + (order,)).reshape(-1, order)
-        flat_rs = jnp.broadcast_to(rshift, batch_shape).reshape(-1)
-        out = PK.predict_rows(flat_x, flat_c, flat_rs, num_units)
-        return out.reshape(batch_shape + (n,))
     body_len = num_units * ns
     seg = x[..., :body_len].reshape(x.shape[:-1] + (num_units, ns))
     c = coefs.reshape(coefs.shape[:-1] + (num_units, npu))

@@ -27,7 +27,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas import _on_tpu, _use_pallas_env
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
 
 _TTILE = 8       # time steps per fori iteration
 _LANES = 128
@@ -157,6 +163,6 @@ def synthesize_rows_xla(x: jnp.ndarray, coefs: jnp.ndarray,
 
 
 def synthesize_rows(x, coefs, rshift):
-    if _on_tpu() or _use_pallas_env():
+    if _on_tpu():
         return synthesize_rows_tpu(x, coefs, rshift)
     return synthesize_rows_xla(x, coefs, rshift)

@@ -1,0 +1,58 @@
+"""Real-chip Pallas regressions (run with LINNE_TEST_TPU=1).
+
+Interpreter mode on CPU can hide Mosaic lowering/layout bugs; this lane
+executes every Pallas kernel on the actual TPU and asserts bit-equality
+(int32) or near-equality (float32) with the plain-XLA formulations.
+
+    LINNE_TEST_TPU=1 python -m pytest tests/test_tpu_kernels.py -v
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("LINNE_TEST_TPU")
+    or jax.devices()[0].platform != "tpu",
+    reason="TPU-mode Pallas lane: set LINNE_TEST_TPU=1 on a TPU host")
+
+
+def _pull(x):
+    return np.asarray(x)  # block_until_ready is a no-op through the tunnel
+
+
+def test_synthesize_rows_tpu_bit_equal():
+    from linne_tpu.ops.synthesis import synthesize_rows_tpu, synthesize_rows_xla
+
+    rng = np.random.default_rng(0)
+    for rows, ns, npu in ((4, 2048, 32), (130, 1024, 8), (64, 2560, 128)):
+        x = jnp.asarray(rng.integers(-30000, 30000, (rows, ns)), jnp.int32)
+        c = jnp.asarray(rng.integers(-(1 << 14), 1 << 14, (rows, npu)),
+                        jnp.int32)
+        rs = jnp.asarray(rng.integers(8, 15, rows), jnp.int32)
+        tpu_out = _pull(synthesize_rows_tpu(x, c, rs))
+        xla_out = _pull(synthesize_rows_xla(x, c, rs))
+        assert np.array_equal(tpu_out, xla_out), (rows, ns, npu)
+
+
+def test_analysis_chain_runs_on_chip():
+    """The production analysis stages (XLA formulations — see
+    docs/PROFILE_r2.md for why there are no Pallas analysis kernels) must
+    execute on the real chip at a production shape."""
+    from linne_tpu.codec.encoder import TpuEncoder
+    from linne_tpu.codec.params import EncodeParameter
+
+    rng = np.random.default_rng(2)
+    n = 2560
+    enc = TpuEncoder(batch_blocks=8)
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=n, preset=5, ch_process_method=1))
+    fn, _ = enc._analyze_fn(n)
+    blocks = jnp.asarray(rng.integers(-3000, 3000, (8, 2, n)), jnp.int16)
+    out = fn(blocks)
+    assert np.all(np.isfinite(_pull(out["packed"][..., :8])))

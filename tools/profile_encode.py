@@ -4,8 +4,8 @@ sweep, and XLA-vs-Pallas comparisons of the three analysis kernels at
 production shapes (mode-7 preset). Timings force execution with host pulls
 (block_until_ready is a no-op through the axon tunnel).
 
-Writes a plain-text report to stdout; run with LINNE_FORCE_PALLAS=1 to flip
-the kernel default for the end-to-end rows.
+Writes a plain-text report to stdout. Round-2 results and the
+Pallas-vs-XLA analysis-kernel decision they drove: docs/PROFILE_r2.md.
 """
 
 import sys
@@ -36,16 +36,23 @@ def timeit(fn, reps=5):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["e2e", "stages", "kernels", "all"],
+                    default="all")
+    ap.add_argument("--batches", type=int, nargs="+", default=[64, 128, 256])
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from linne_tpu.codec.encoder import TpuEncoder
     from linne_tpu.codec.params import EncodeParameter
     from linne_tpu.ops import analysis as A
-    from linne_tpu.ops import pallas as PK
 
     platform = jax.devices()[0].platform
-    print(f"# device={jax.devices()[0]} platform={platform}")
+    print(f"# device={jax.devices()[0]} platform={platform}", flush=True)
 
     rate, spb = 44100, 10240
     rng = np.random.default_rng(0)
@@ -55,7 +62,7 @@ def main():
 
     nblocks_total = 256
     signal = make_signal(spb * nblocks_total, rate)
-    for bb in (64, 128, 256):
+    for bb in (args.batches if args.phase in ("e2e", "all") else []):
         enc = TpuEncoder(batch_blocks=bb)
         enc.set_encode_parameter(EncodeParameter(
             num_channels=2, bits_per_sample=16, sampling_rate=rate,
@@ -64,8 +71,10 @@ def main():
             [signal[0], signal[1]], signal.shape[1]), reps=3)
         audio = signal.shape[1] / rate
         print(f"e2e mode7 batch_blocks={bb:4d}: {dt*1000:8.1f} ms "
-              f"({audio/dt:6.1f}x realtime)")
+              f"({audio/dt:6.1f}x realtime)", flush=True)
 
+    if args.phase not in ("stages", "kernels", "all"):
+        return
     # ---- 2) stage breakdown at batch_blocks=64 (per-stage synchronized) ----
     bb = 64
     enc = TpuEncoder(batch_blocks=bb)
@@ -76,14 +85,17 @@ def main():
     dev_blocks = jnp.asarray(blocks)
 
     # rebuild the stage chain exactly as _analyze_fn does, but timed
-    fn, _ = enc._analyze_fn(spb)
-    dt_all = timeit(lambda: pull(fn(dev_blocks)))
-    print(f"stage full-chain (async): {dt_all*1000:8.1f} ms")
+    if args.phase in ("stages", "all"):
+        fn, _ = enc._analyze_fn(spb)
+        dt_all = timeit(lambda: pull(fn(dev_blocks)))
+        print(f"stage full-chain (async): {dt_all*1000:8.1f} ms", flush=True)
 
-    # H2D cost
-    dt_h2d = timeit(lambda: pull(jnp.asarray(blocks)))
-    print(f"stage h2d [64,2,10240]i16: {dt_h2d*1000:8.1f} ms")
+        # H2D cost
+        dt_h2d = timeit(lambda: pull(jnp.asarray(blocks)))
+        print(f"stage h2d [64,2,10240]i16: {dt_h2d*1000:8.1f} ms", flush=True)
 
+    if args.phase not in ("kernels", "all"):
+        return
     # ---- 3) kernel microbench at production shapes ----
     # mode-7 layer orders (4, 128, 16); ridge axis 4; candidates vary.
     nridge, B, C = 4, bb, 2
@@ -95,32 +107,21 @@ def main():
         p = jnp.asarray(rng.normal(0, 0.1, (rows, u, npu))
                         .astype(np.float32)).reshape(rows, u, npu)
 
-        ac_xla = jax.jit(lambda v: A.autocorrelation(v, npu + 1))
+        # pull only a scalar: the tunnel moves ~46MB/s, so pulling full
+        # outputs would measure D2H, not the kernel
+        ac_xla = jax.jit(lambda v: jnp.sum(A.autocorrelation(v, npu + 1)))
         dt_x = timeit(lambda: pull(ac_xla(x)))
-        try:
-            ac_pal = jax.jit(lambda v: PK.autocorrelation_rows(v, npu + 1))
-            dt_p = timeit(lambda: pull(ac_pal(x)))
-        except Exception as e:
-            dt_p = float("nan")
-            print(f"  autocorr pallas failed: {type(e).__name__}")
         print(f"autocorr  rows={rows:5d} ns={ns:6d} lags={npu+1:4d}: "
-              f"xla {dt_x*1000:7.2f} ms  pallas {dt_p*1000:7.2f} ms")
+              f"xla {dt_x*1000:7.2f} ms", flush=True)
 
         # unit_forward: [R*B*C, n] with params [rows2, u, npu]
         rows2 = nridge * B * C
         xf = jnp.asarray(rng.normal(0, 0.1, (rows2, spb)).astype(np.float32))
         pf = jnp.asarray(rng.normal(0, 0.1, (rows2, u, npu)).astype(np.float32))
-        uf_xla = jax.jit(lambda v, w: A.unit_forward(v, w, u))
+        uf_xla = jax.jit(lambda v, w: jnp.sum(A.unit_forward(v, w, u)))
         dt_x = timeit(lambda: pull(uf_xla(xf, pf)))
-        try:
-            uf_pal = jax.jit(lambda v, w: PK.unit_forward_rows(v, w, u))
-            dt_p = timeit(lambda: pull(uf_pal(xf, pf)))
-        except Exception as e:
-            dt_p = float("nan")
-            print(f"  unit_forward pallas failed: {type(e).__name__}: "
-                  f"{str(e)[:120]}")
         print(f"unitfwd   rows={rows2:5d} n={spb:6d} u={u:3d} npu={npu:4d}: "
-              f"xla {dt_x*1000:7.2f} ms  pallas {dt_p*1000:7.2f} ms")
+              f"xla {dt_x*1000:7.2f} ms", flush=True)
 
     # integer predict at [B*C, n] int32
     from linne_tpu.ops import intops as I
@@ -134,21 +135,15 @@ def main():
         rs = jnp.full((rowsi,), 14, jnp.int32)
         log2u = jnp.zeros((B, C), jnp.int32) + (u - 1).bit_length()
 
-        pr_pal = jax.jit(lambda v, c, r: PK.predict_rows(v, c, r, u))
-        try:
-            dt_p = timeit(lambda: pull(pr_pal(xi, ci, rs)))
-        except Exception as e:
-            dt_p = float("nan")
-            print(f"  predict pallas failed: {type(e).__name__}")
         # XLA path comes via intops.predict_cascade_layer on [B, C, n]
         xb = xi.reshape(B, C, spb)
         cb = ci.reshape(B, C, order)
         rsb = rs.reshape(B, C)
-        pc_xla = jax.jit(lambda v, c, l2, r: I.predict_cascade_layer(
-            v, c, l2, r, [u]))
+        pc_xla = jax.jit(lambda v, c, l2, r: jnp.sum(I.predict_cascade_layer(
+            v, c, l2, r, [u])))
         dt_x = timeit(lambda: pull(pc_xla(xb, cb, log2u, rsb)))
         print(f"predict   rows={rowsi:5d} n={spb:6d} u={u:3d} npu={npu:4d}: "
-              f"xla {dt_x*1000:7.2f} ms  pallas {dt_p*1000:7.2f} ms")
+              f"xla {dt_x*1000:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
