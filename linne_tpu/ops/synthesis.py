@@ -153,7 +153,11 @@ def synthesize_rows_xla(x: jnp.ndarray, coefs: jnp.ndarray,
     win0 = x[:, :npu]
 
     def step(win, xt):
-        pred = jnp.sum(coefs * win, axis=-1) + half
+        # dtype=int32 forces an int32 accumulator: under jax_enable_x64,
+        # jnp.sum would otherwise promote to int64 and silently lose the
+        # wire format's two's-complement wraparound (caught by the
+        # LINNE_TEST_TPU lane comparing against the Pallas kernel)
+        pred = jnp.sum(coefs * win, axis=-1, dtype=jnp.int32) + half
         yt = (xt - (pred >> rshift)).astype(jnp.int32)
         win = jnp.concatenate([win[:, 1:], yt[:, None]], axis=1)
         return win, yt

@@ -67,3 +67,34 @@ def test_crc_check_flag(encoded):
 
     with pytest.raises((CorruptionError, FormatError)):
         Decoder(DecoderConfig(check_crc=True)).decode_whole(bytes(corrupted))
+
+
+def test_synthesize_rows_xla_wraparound_adversarial():
+    """The XLA synthesis fallback must keep int32 two's-complement
+    wraparound (jnp.sum would promote to an int64 accumulator under
+    jax_enable_x64): adversarial magnitudes vs the native C++ synth."""
+    import jax.numpy as jnp
+
+    from linne_tpu import native
+    from linne_tpu.ops.synthesis import synthesize_rows_xla
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    rows, ns, npu = 4, 256, 32
+    x = rng.integers(-30000, 30000, (rows, ns)).astype(np.int32)
+    c = rng.integers(-(1 << 14), 1 << 14, (rows, npu)).astype(np.int32)
+    rs = rng.integers(8, 15, rows).astype(np.int32)
+    truth = np.empty_like(x)
+    for r in range(rows):
+        plane = x[r : r + 1].copy()
+        native.lib().linne_synthesize_block(
+            plane, np.ascontiguousarray(c[r : r + 1]),
+            np.zeros((1, 1), np.int32),
+            np.full((1, 1), rs[r], np.int32),
+            np.zeros((1, 2), np.int32), np.zeros((1, 2), np.int32),
+            1, ns, 1, np.asarray([npu], np.int32), 2, 0)
+        truth[r] = plane[0]
+    out = np.asarray(synthesize_rows_xla(
+        jnp.asarray(x), jnp.asarray(c), jnp.asarray(rs)))
+    assert np.array_equal(out, truth)
