@@ -1,9 +1,13 @@
 """Decoder-path equivalence: host (native), batched TPU/XLA, streaming."""
 
+import pathlib
+
 import numpy as np
 import pytest
 
 from conftest import WAVEFORMS
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 from linne_tpu.codec.decoder import Decoder
 from linne_tpu.codec.encoder import TpuEncoder
@@ -98,3 +102,26 @@ def test_synthesize_rows_xla_wraparound_adversarial():
     out = np.asarray(synthesize_rows_xla(
         jnp.asarray(x), jnp.asarray(c), jnp.asarray(rs)))
     assert np.array_equal(out, truth)
+
+
+def test_decode_path_is_jax_free():
+    """Decode-only deployments (the reference's `linnedec` target,
+    CMakeLists.txt:5-29) need only numpy + the native library: importing the
+    decoder, streaming/player, and CLI must not pull jax."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; "
+        f"sys.path.insert(0, {str(REPO_ROOT)!r}); "
+        "import linne_tpu.codec.decoder, linne_tpu.codec.streaming, "
+        "linne_tpu.player, linne_tpu.cli; "
+        "assert 'jax' not in sys.modules, 'decode path imported jax'; "
+        "print('ok')")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "PYTHONSTARTUP")}  # no sitecustomize
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "ok"
