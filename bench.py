@@ -79,7 +79,7 @@ def main() -> None:
         "round-trip mismatch")
 
     times = []
-    for _ in range(5):
+    for _ in range(8):  # tunnel latency is noisy; min over more runs
         t0 = time.perf_counter()
         data = enc.encode_whole([signal[0], signal[1]], n)
         times.append(time.perf_counter() - t0)

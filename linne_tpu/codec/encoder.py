@@ -235,16 +235,31 @@ class TpuEncoder:
                 return jnp.broadcast_to(
                     v.astype(jnp.int32)[:, None, None], (B, C, 1))
 
+            def pack_bytes(a):
+                # [..., K] int32 byte-range values -> [..., ceil(K/4)] int32
+                # (4 bytes per word: the k2/coef planes are the bulk of the
+                # side info, and D2H bandwidth is the encode bottleneck)
+                k = a.shape[-1]
+                pad = (-k) % 4
+                if pad:
+                    a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+                b = (a & 0xFF).astype(jnp.uint32).reshape(
+                    a.shape[:-1] + ((k + pad) // 4, 4))
+                w = (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+                     | (b[..., 3] << 24))
+                return jax.lax.bitcast_convert_type(w, jnp.int32)
+
             parts = [bc1(raw_flag), bc1(silent_flag), bc1(res_overflow),
                      preemph_prev.astype(jnp.int32),
                      preemph_coef.astype(jnp.int32)]
             for li in range(len(orders)):
                 parts.append(log2u[li].astype(jnp.int32)[..., None])
                 parts.append(rshifts[li].astype(jnp.int32)[..., None])
-            for li in range(len(orders)):
-                parts.append(int_coefs[li].astype(jnp.int32))
             parts.append(porder.astype(jnp.int32)[..., None])
-            parts.append(k2s.astype(jnp.int32))
+            parts.append(pack_bytes(
+                jnp.concatenate([c.astype(jnp.int32) for c in int_coefs],
+                                axis=-1)))
+            parts.append(pack_bytes(k2s.astype(jnp.int32)))
             side = jnp.concatenate(parts, axis=-1)
             # single-pull packing: the int16 residual plane rides inside the
             # int32 side tensor (two samples per word) so a batch costs ONE
@@ -304,37 +319,32 @@ class TpuEncoder:
 
     # -- serialization ------------------------------------------------------
 
-    def _side_layout(self):
-        """Offsets into the packed side-info tensor (see _analyze_fn)."""
-        L = self.preset.num_layers
-        total_order = sum(self.preset.layer_num_params)
-        off_layers = 7
-        off_coefs = off_layers + 2 * L
-        off_porder = off_coefs + total_order
-        off_k2 = off_porder + 1
-        return off_layers, off_coefs, off_porder, off_k2
-
-    def _side_width(self, n: int) -> int:
+    def _side_layout(self, n: int):
+        """Offsets into the packed side-info tensor (see _analyze_fn).
+        The coefficient and k2 planes are byte-packed 4-per-word."""
         from ..ops.rice_search import max_porder_for
 
-        _, _, _, off_k2 = self._side_layout()
-        return off_k2 + (1 << max_porder_for(n))
+        L = self.preset.num_layers
+        total_order = sum(self.preset.layer_num_params)
+        max_parts = 1 << max_porder_for(n)
+        off_layers = 7
+        off_porder = off_layers + 2 * L
+        off_coefw = off_porder + 1
+        off_k2w = off_coefw + (total_order + 3) // 4
+        side_k = off_k2w + (max_parts + 3) // 4
+        return off_layers, off_porder, off_coefw, off_k2w, side_k, max_parts
 
-    def _write_compress_payload(self, side_b: np.ndarray,
+    def _side_width(self, n: int) -> int:
+        return self._side_layout(n)[4]
+
+    def _write_compress_payload(self, pprev, pcoef, log2u, rshift, coefs,
+                                porder, k2s,
                                 residual_b: np.ndarray, n: int) -> bytes:
-        """side_b: [C, K] int32 packed side info; residual_b: [C, n]."""
+        """All side arrays are per-block [C, ...] int32; residual [C, n]."""
         p = self.parameter
         nch = p.num_channels
         orders = self.preset.layer_num_params
         L = self.preset.num_layers
-        off_layers, off_coefs, off_porder, off_k2 = self._side_layout()
-        pprev = side_b[:, 3:5]
-        pcoef = side_b[:, 5:7]
-        log2u = side_b[:, off_layers : off_layers + 2 * L : 2]
-        rshift = side_b[:, off_layers + 1 : off_layers + 2 * L : 2]
-        coefs = side_b[:, off_coefs:off_porder]
-        porder = side_b[:, off_porder]
-        k2s = side_b[:, off_k2:]
         if native.available():
             return native.pack_compress_payload(
                 residual_b, coefs, log2u, rshift, pprev, pcoef,
@@ -441,8 +451,19 @@ class TpuEncoder:
             axis = self.mesh.axis_names[0]
             arr = jax.device_put(
                 blocks_dev, NamedSharding(self.mesh, P(axis, None, None)))
-            return fn(arr), blocks, n, real
-        return fn(jnp.asarray(blocks_dev)), blocks, n, real
+            return self._prefetch(fn(arr)), blocks, n, real
+        return self._prefetch(fn(jnp.asarray(blocks_dev))), blocks, n, real
+
+    @staticmethod
+    def _prefetch(out):
+        """Start the D2H copy of the packed tensor as soon as the device
+        finishes it, so the drain's np.asarray overlaps with host packing of
+        earlier batches instead of serializing on the transfer."""
+        try:
+            out["packed"].copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        return out
 
     def _encode_batch(self, blocks: np.ndarray, n: int) -> bytes:
         """blocks: [B, C, >=n] int32; returns framed block bytes."""
@@ -524,12 +545,26 @@ class TpuEncoder:
             real = blocks.shape[0]
         return self._drain_batch(out_dev, blocks, n, real)
 
+    @staticmethod
+    def _unpack_bytes(words: np.ndarray, count: int,
+                      signed: bool) -> np.ndarray:
+        """[..., W] int32 words -> [..., count] int32 byte values."""
+        w = np.ascontiguousarray(words).view(np.uint8)
+        w = w.reshape(words.shape[:-1] + (-1,))[..., :count]
+        if signed:
+            return w.view(np.int8).astype(np.int32)
+        return w.astype(np.int32)
+
     def _drain_batch(self, out_dev, blocks: np.ndarray, n: int,
                      real: int) -> bytes:
-        """ONE host pull per batch (side info + packed int16 residuals);
-        int32 residual rows are fetched only for overflowed blocks."""
+        """ONE host pull per batch (side info + byte-packed coef/k2 planes +
+        packed int16 residuals); int32 residual rows are fetched only for
+        overflowed blocks."""
         p = self.parameter
-        side_k = self._side_width(n)
+        L = self.preset.num_layers
+        total_order = sum(self.preset.layer_num_params)
+        (off_layers, off_porder, off_coefw, off_k2w, side_k,
+         max_parts) = self._side_layout(n)
         packed = np.asarray(out_dev["packed"])      # [B, C, K + ceil(n/2)]
         side = packed[..., :side_k]
         res = np.ascontiguousarray(packed[..., side_k:]).view(np.int16)
@@ -539,6 +574,16 @@ class TpuEncoder:
         overflow = side[:, 0, 2] != 0
         for b in np.nonzero(overflow[:real])[0]:
             res[b] = np.asarray(out_dev["residual"][b])
+
+        pprev = side[..., 3:5]
+        pcoef = side[..., 5:7]
+        log2u = side[..., off_layers : off_layers + 2 * L : 2]
+        rshift = side[..., off_layers + 1 : off_layers + 2 * L : 2]
+        porder = side[..., off_porder]
+        coefs = self._unpack_bytes(
+            side[..., off_coefw:off_k2w], total_order, signed=True)
+        k2s = self._unpack_bytes(
+            side[..., off_k2w:side_k], max_parts, signed=False)
 
         chunks = []
         for b in range(real):
@@ -552,7 +597,8 @@ class TpuEncoder:
                 btype = BLOCK_TYPE_SILENT
             else:
                 payload = self._write_compress_payload(
-                    side[b], res[b, :, :n], n)
+                    pprev[b], pcoef[b], log2u[b], rshift[b], coefs[b],
+                    porder[b], k2s[b], res[b, :, :n], n)
                 btype = BLOCK_TYPE_COMPRESS
             chunks.append(frame_block(btype, n, payload))
         return chunks

@@ -13,10 +13,12 @@ codec.decoder instead; this path optimizes whole-file and corpus decode.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .. import native
@@ -32,6 +34,21 @@ from ..format.huffman import get_codebook
 from ..ops.synthesis import synthesize_rows
 from ..presets import PRESETS
 from .params import DecoderConfig
+
+
+@functools.lru_cache(maxsize=64)
+def _group_step(u: int, ns: int, npu: int, nmembers: int):
+    """One jitted gather -> batched synthesis -> scatter for a uniform
+    (units, order) group: a single dispatch instead of a chain of eager
+    ops (each eager op costs a dispatch round trip)."""
+
+    @jax.jit
+    def step(R, idx, c, rs):
+        seg = R[idx, : u * ns].reshape(-1, ns)
+        out = synthesize_rows(seg, c, rs)
+        return R.at[idx, : u * ns].set(out.reshape(nmembers, u * ns))
+
+    return step
 
 
 class TpuDecoder:
@@ -68,44 +85,56 @@ class TpuDecoder:
             offset += bh.total_size
             progress += n
 
-        # 2) batched device synthesis, layers in reverse, grouped by
-        #    (block length, unit count)
+        # 2) batched device synthesis: residual planes are uploaded ONCE per
+        #    block-length class, the reversed layer cascade runs entirely on
+        #    device (gather rows of each (units, order) group, one scan
+        #    launch per group, scatter back), and the reconstructed planes
+        #    come back in ONE download — no per-layer host round trips.
         compress = [(i, b) for i, (_s, _n, kind, b) in enumerate(blocks)
                     if kind == "compress"]
         by_idx = dict(compress)
         planes = {i: b[0] for i, b in compress}  # residuals [nch, n] (mutated)
-        for li in range(len(orders) - 1, -1, -1):
-            groups = {}
-            for i, b in compress:
-                _res, coefs, log2u, rshifts, _pp, _pc, _c = b
-                n = planes[i].shape[1]
+        by_len = {}
+        for i, _b in compress:
+            by_len.setdefault(planes[i].shape[1], []).append(i)
+        for n, members_n in by_len.items():
+            rowmap = {}  # (block, ch) -> row index in the device tensor
+            stackrows = []
+            for i in members_n:
                 for ch in range(nch):
-                    u = 1 << int(log2u[ch, li])
-                    npu = int(orders[li]) // u
-                    ns = n // u
-                    if ns <= npu:
-                        continue
-                    groups.setdefault((u, ns, npu), []).append((i, ch))
-            base_off = int(orders[:li].sum())
-            for (u, ns, npu), members in groups.items():
-                rows = []
-                crows = []
-                rsrows = []
-                for i, ch in members:
-                    _res, coefs, _l2, rshifts, _pp, _pc, _c = by_idx[i]
-                    seg = planes[i][ch, : u * ns].reshape(u, ns)
-                    rows.append(seg)
-                    layer_coefs = coefs[ch, base_off : base_off + orders[li]]
-                    crows.append(layer_coefs.reshape(u, npu))
-                    rsrows.append(np.full(u, rshifts[ch, li], np.int32))
-                x = jnp.asarray(np.concatenate(rows, axis=0))
-                c = jnp.asarray(np.concatenate(crows, axis=0))
-                rs = jnp.asarray(np.concatenate(rsrows, axis=0))
-                out = np.asarray(synthesize_rows(x, c, rs))
-                k = 0
-                for i, ch in members:
-                    planes[i][ch, : u * ns] = out[k : k + u].reshape(-1)
-                    k += u
+                    rowmap[(i, ch)] = len(stackrows)
+                    stackrows.append(planes[i][ch])
+            R = jnp.asarray(np.stack(stackrows))           # [rows, n]
+            for li in range(len(orders) - 1, -1, -1):
+                base_off = int(orders[:li].sum())
+                groups = {}
+                for i in members_n:
+                    log2u = by_idx[i][2]
+                    for ch in range(nch):
+                        u = 1 << int(log2u[ch, li])
+                        npu = int(orders[li]) // u
+                        ns = n // u
+                        if ns <= npu:
+                            continue
+                        groups.setdefault((u, ns, npu), []).append((i, ch))
+                for (u, ns, npu), members in groups.items():
+                    crows = []
+                    rsrows = []
+                    idx = []
+                    for i, ch in members:
+                        _r, coefs, _l2, rshifts, _pp, _pc, _c = by_idx[i]
+                        idx.append(rowmap[(i, ch)])
+                        crows.append(
+                            coefs[ch, base_off : base_off + orders[li]]
+                            .reshape(u, npu))
+                        rsrows.append(np.full(u, rshifts[ch, li], np.int32))
+                    step = _group_step(u, ns, npu, len(members))
+                    R = step(R, jnp.asarray(np.asarray(idx, np.int32)),
+                             jnp.asarray(np.concatenate(crows, axis=0)),
+                             jnp.asarray(np.concatenate(rsrows, axis=0)))
+            host_R = np.asarray(R)                          # ONE download
+            for (i, ch), row in rowmap.items():
+                planes[i][ch] = host_R[row]
 
         # 3) de-emphasis + channel recorrelation on host
         out = [np.zeros(header.num_samples, dtype=np.int32)

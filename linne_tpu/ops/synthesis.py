@@ -37,7 +37,10 @@ def _on_tpu() -> bool:
 
 _TTILE = 8       # time steps per fori iteration
 _LANES = 128
-_VMEM_BUDGET = 10 << 20
+# Mosaic's scoped-vmem stack is 16MB and holds BOTH the in and out blocks
+# ([1, ns, sg, LANES] int32 each): budget sg so 2*sg*ns*LANES*4 stays well
+# under it (the kernel also time-chunks at _MAX_NS, see synthesize_rows_tpu)
+_VMEM_BUDGET = 6 << 20
 
 
 def _synth_kernel(x_ref, c_ref, rs_ref, out_ref, *, npu, ns, sg):
@@ -87,15 +90,44 @@ def _synth_kernel(x_ref, c_ref, rs_ref, out_ref, *, npu, ns, sg):
                       rows)
 
 
+_MAX_NS = 4096  # per-launch time window: in+out VMEM stays under the
+                # 16MB scoped limit (2 * sg * _MAX_NS * 128 lanes * 4B)
+
+
 def synthesize_rows_tpu(x: jnp.ndarray, coefs: jnp.ndarray,
                         rshift: jnp.ndarray) -> jnp.ndarray:
     """x: [rows, ns] int32 residual segments; coefs: [rows, npu] int32
     (wire order: c[j] pairs with data[t+j]); rshift: [rows] int32.
-    Returns reconstructed [rows, ns]."""
+    Returns reconstructed [rows, ns].
+
+    Long segments are processed in _MAX_NS time chunks: the IIR state is
+    exactly the last npu outputs, which become the next chunk's prefix, so
+    chunking is bit-transparent while keeping each launch inside VMEM.
+    """
     rows, ns = x.shape
     npu = coefs.shape[-1]
     if ns <= npu:
         return x
+    if ns > _MAX_NS:
+        outs = []
+        win = x[:, :npu]
+        outs.append(win)
+        t = npu
+        while t < ns:
+            take = min(_MAX_NS - npu, ns - t)
+            seg = jnp.concatenate([win, x[:, t : t + take]], axis=1)
+            out = _synthesize_rows_call(seg, coefs, rshift)
+            outs.append(out[:, npu:])
+            win = out[:, -npu:]
+            t += take
+        return jnp.concatenate(outs, axis=1)
+    return _synthesize_rows_call(x, coefs, rshift)
+
+
+def _synthesize_rows_call(x: jnp.ndarray, coefs: jnp.ndarray,
+                          rshift: jnp.ndarray) -> jnp.ndarray:
+    rows, ns = x.shape
+    npu = coefs.shape[-1]
     # sublane groups per program, bounded by VMEM (in+out buffers)
     sg = max(1, min(8, _VMEM_BUDGET // (ns * _LANES * 4 * 2)))
     rows_per = sg * _LANES

@@ -29,7 +29,10 @@ def test_synthesize_rows_tpu_bit_equal():
     from linne_tpu.ops.synthesis import synthesize_rows_tpu, synthesize_rows_xla
 
     rng = np.random.default_rng(0)
-    for rows, ns, npu in ((4, 2048, 32), (130, 1024, 8), (64, 2560, 128)):
+    # the 10240 case exercises the _MAX_NS time-chunking (whole rows do not
+    # fit the scoped-vmem stack at 128 lanes)
+    for rows, ns, npu in ((4, 2048, 32), (130, 1024, 8), (64, 2560, 128),
+                          (8, 10240, 128)):
         x = jnp.asarray(rng.integers(-30000, 30000, (rows, ns)), jnp.int32)
         c = jnp.asarray(rng.integers(-(1 << 14), 1 << 14, (rows, npu)),
                         jnp.int32)
