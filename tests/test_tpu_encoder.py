@@ -35,6 +35,10 @@ _CASES = [
     ("chirp", 10240, 1, 24, 7),
     ("silence", 10240, 2, 16, 0),
     ("nyquist", 10240, 2, 16, 0),
+    ("const", 10240, 2, 16, 7),
+    ("flipsine", 10240, 8, 16, 0),
+    ("gauss", 10240, 2, 8, 0),
+    ("sine", 2560 * 3 + 100, 2, 16, 5),
 ]
 
 
