@@ -79,6 +79,33 @@ class StreamingDecoder:
             filled += take
         return out[:, :filled]
 
+    def seek(self, sample_index: int) -> None:
+        """Reposition to `sample_index` (0-based frame). Every block carries
+        its full model state (the reference re-transmits even the
+        de-emphasis history per block, linne_encoder.c:706-709), so seeking
+        is a header-only scan to the containing block plus an intra-block
+        skip — no decode of preceding audio."""
+        from ..format.block import parse_block_header
+
+        if not (0 <= sample_index <= self.header.num_samples):
+            raise ValueError("seek out of range")
+        view = memoryview(self._data)  # zero-copy header scan
+        offset = HEADER_SIZE
+        produced = 0
+        while produced < self.header.num_samples and offset < len(self._data):
+            bh = parse_block_header(view[offset:])
+            if produced + bh.num_samples > sample_index:
+                break
+            produced += bh.num_samples
+            offset += bh.total_size
+        self._offset = offset
+        self._produced = produced
+        self._buffer = np.zeros((self.header.num_channels, 0), dtype=np.int32)
+        self._buffer_pos = 0
+        skip = sample_index - produced
+        if skip:
+            self.read(skip)
+
     def play(self, chunk_frames: int = 4096, backend=None) -> None:
         """Convenience playback through a `linne_tpu.player` backend (first
         available one if none is given)."""

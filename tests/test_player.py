@@ -96,3 +96,33 @@ def test_streaming_matches_whole_decode(lnn_stream):
     assert out.shape[1] == ns
     for c in range(2):
         assert np.array_equal(out[c], whole[c])
+
+
+def test_seek_matches_linear_decode(lnn_stream):
+    data, sig, ns = lnn_stream
+    stream = StreamingDecoder(data)
+    # seek to assorted positions incl. block boundaries and mid-block
+    for pos in (0, 1, SPB - 1, SPB, SPB + 1, 3 * SPB + 500, ns - 10, ns):
+        stream.seek(pos)
+        chunk = stream.read(257)
+        want = sig[:, pos : pos + 257]
+        assert chunk.shape[1] == want.shape[1], pos
+        assert np.array_equal(chunk, want), pos
+
+
+def test_seek_is_header_only():
+    """Seeking deep into a stream must not decode preceding blocks."""
+    ns = SPB * 40
+    sig = WAVEFORMS["gauss"](ns, 2, 16)
+    enc = TpuEncoder(batch_blocks=8)
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=RATE,
+        num_samples_per_block=SPB, preset=0, ch_process_method=CH_PROCESS_MS))
+    data = enc.encode_whole([sig[0], sig[1]], ns)
+    stream = StreamingDecoder(data)
+    t0 = time.perf_counter()
+    stream.seek(ns - SPB // 2)
+    dt = time.perf_counter() - t0
+    out = stream.read(100)
+    assert np.array_equal(out, sig[:, ns - SPB // 2 : ns - SPB // 2 + 100])
+    assert dt < 0.05, f"seek took {dt*1000:.1f} ms (decoded blocks?)"
