@@ -167,3 +167,57 @@ class TestHuffman:
         assert len(codes) == 256
         # Kraft equality for a complete prefix code
         assert sum(2.0 ** -nbits for _, nbits in cb.codes) == 1.0
+
+
+def test_pure_python_fallback_matches_native():
+    """With LINNE_NO_NATIVE=1 (no compiler on the host) the Python format
+    layer must produce byte-identical streams and lossless decodes."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from conftest import WAVEFORMS
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    n = 2048 * 2 + 600
+    sig = WAVEFORMS["gauss"](n, 2, 16)
+    enc = ExactEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=2048, preset=1, ch_process_method=1))
+    native_bytes = enc.encode_whole([sig[0], sig[1]], n)
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    code = f"""
+import sys
+sys.path.insert(0, {str(repo)!r})
+import numpy as np
+sys.path.insert(0, {str(repo / 'tests')!r})
+from conftest import WAVEFORMS
+from linne_tpu import native
+assert not native.available(), 'LINNE_NO_NATIVE not honored'
+from linne_tpu.codec.params import EncodeParameter
+from linne_tpu.exact.encoder import ExactEncoder
+from linne_tpu.codec.decoder import Decoder
+n = {n}
+sig = WAVEFORMS['gauss'](n, 2, 16)
+enc = ExactEncoder()
+enc.set_encode_parameter(EncodeParameter(
+    num_channels=2, bits_per_sample=16, sampling_rate=44100,
+    num_samples_per_block=2048, preset=1, ch_process_method=1))
+data = enc.encode_whole([sig[0], sig[1]], n)
+ch = Decoder().decode_whole(data)
+assert all(np.array_equal(ch[i], sig[i]) for i in range(2)), 'not lossless'
+sys.stdout.buffer.write(data)
+"""
+    env = dict(os.environ)
+    env["LINNE_NO_NATIVE"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    assert r.stdout == native_bytes
