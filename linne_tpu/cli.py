@@ -129,7 +129,18 @@ def main(argv=None) -> int:
         print("specify exactly one of -e (encode) / -d (decode) "
               "plus input and output files", file=sys.stderr)
         return 1
-    return do_encode(args) if args.encode else do_decode(args)
+    try:
+        return do_encode(args) if args.encode else do_decode(args)
+    except FileNotFoundError as e:
+        print(f"error: {e.filename}: no such file", file=sys.stderr)
+        return 1
+    except Exception as e:
+        from .format.header import FormatError
+
+        if isinstance(e, FormatError):
+            print(f"error: {args.input}: {e}", file=sys.stderr)
+            return 1
+        raise
 
 
 if __name__ == "__main__":

@@ -469,6 +469,16 @@ class TpuEncoder:
         """blocks: [B, C, >=n] int32; returns framed block bytes."""
         return b"".join(self._drain_batch(*self._dispatch_batch(blocks, n)))
 
+    def encode_block(self, channels: Sequence[np.ndarray], n: int) -> bytes:
+        """Encode ONE framed block (API parity with
+        LINNEEncoder_EncodeBlock, include/linne_encoder.h). For throughput
+        use encode_whole/encode_many — they batch blocks per dispatch."""
+        p = self.parameter
+        block = np.zeros((1, p.num_channels, n), dtype=np.int32)
+        for c in range(p.num_channels):
+            block[0, c] = np.asarray(channels[c][:n], dtype=np.int32)
+        return self._encode_batch(block, n)
+
     def encode_many(self, tracks: Sequence[Sequence[np.ndarray]],
                     num_samples: Sequence[int]) -> List[bytes]:
         """Encode a corpus: full blocks from ALL tracks are batched together

@@ -93,3 +93,31 @@ def test_compression_close_to_reference(tmp_path):
         ratio = len(ours) / ref_size
         assert 0.95 < ratio < 1.005, (
             f"mode {mode}: ours {len(ours)} vs ref {ref_size} ({ratio:.4f})")
+
+
+def test_encode_block_matches_encode_whole():
+    """Single-block API parity (LINNEEncoder_EncodeBlock): block-at-a-time
+    encoding concatenates to the same stream as encode_whole."""
+    n, spb = 10240 * 2 + 999, 10240
+    samples = WAVEFORMS["gauss"](n, 2, 16)
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=spb, preset=0,
+        ch_process_method=CH_PROCESS_MS))
+    whole = enc.encode_whole([samples[0], samples[1]], n)
+
+    from linne_tpu.format.header import LinneHeader
+
+    out = bytearray(LinneHeader(
+        num_channels=2, num_samples=n, sampling_rate=44100,
+        bits_per_sample=16, num_samples_per_block=spb, preset=0,
+        ch_process_method=CH_PROCESS_MS).pack())
+    pos = 0
+    while pos < n:
+        take = min(spb, n - pos)
+        out += enc.encode_block(
+            [samples[0][pos : pos + take], samples[1][pos : pos + take]],
+            take)
+        pos += take
+    assert bytes(out) == whole
