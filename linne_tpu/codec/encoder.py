@@ -393,36 +393,55 @@ class TpuEncoder:
         signal = np.stack([np.asarray(c[:num_samples], dtype=np.int32)
                            for c in channels[: p.num_channels]])
 
-        # Pipeline: dispatch every batch to the device up front (JAX runs
-        # them asynchronously), then drain in order — transfers and host
-        # packing of batch i overlap device compute of batch i+1.
-        pending = []
-        if num_full:
-            blocks = signal[:, : num_full * spb].reshape(
-                p.num_channels, num_full, spb).transpose(1, 0, 2)
-            bb = self.batch_blocks
-            for start in range(0, num_full, bb):
-                chunk = blocks[start : start + bb]
-                real = chunk.shape[0]
-                if real < bb:
-                    # pad to the standard batch shape to avoid an extra
-                    # compile specialization; padded rows are dropped below
-                    pad = np.zeros((bb - real,) + chunk.shape[1:], np.int32)
-                    chunk = np.concatenate([chunk, pad], axis=0)
-                pending.append(self._dispatch_batch(chunk, spb, real))
-        if tail:
-            fn, num_analyze = self._analyze_fn(tail)
-            width = max(tail, num_analyze)
-            tail_block = np.zeros((1, p.num_channels, width), dtype=np.int32)
-            tail_block[0, :, :tail] = signal[:, num_full * spb :]
-            pending.append(self._dispatch_batch(tail_block, tail))
+        # Bounded pipeline: keep at most PIPELINE_DEPTH batches in flight
+        # (dispatch-ahead overlaps transfers/host packing with device
+        # compute; unbounded dispatch floods device memory and the transfer
+        # queue — measured 20x slowdown on a 10-minute track).
+        def gen_batches():
+            if num_full:
+                blocks = signal[:, : num_full * spb].reshape(
+                    p.num_channels, num_full, spb).transpose(1, 0, 2)
+                bb = self.batch_blocks
+                for start in range(0, num_full, bb):
+                    chunk = blocks[start : start + bb]
+                    real = chunk.shape[0]
+                    if real < bb:
+                        # pad to the standard batch shape to avoid an extra
+                        # compile specialization; pad rows dropped in drain
+                        pad = np.zeros((bb - real,) + chunk.shape[1:],
+                                       np.int32)
+                        chunk = np.concatenate([chunk, pad], axis=0)
+                    yield (chunk, spb, real)
+            if tail:
+                fn, num_analyze = self._analyze_fn(tail)
+                width = max(tail, num_analyze)
+                tail_block = np.zeros((1, p.num_channels, width),
+                                      dtype=np.int32)
+                tail_block[0, :, :tail] = signal[:, num_full * spb :]
+                yield (tail_block, tail, None)
+
         done = 0
-        for item in pending:
+        for item in self._pipeline(gen_batches()):
             out += b"".join(self._drain_batch(*item))
             done += item[3] * item[2]  # real blocks * block length
             if progress_cb is not None:
                 progress_cb(min(done, num_samples), num_samples)
         return bytes(out)
+
+    PIPELINE_DEPTH = 3
+
+    def _pipeline(self, batch_args):
+        """Dispatch ahead by PIPELINE_DEPTH, yielding dispatched items in
+        order for draining."""
+        from collections import deque
+
+        pending = deque()
+        for chunk, n, real in batch_args:
+            if len(pending) >= self.PIPELINE_DEPTH:
+                yield pending.popleft()
+            pending.append(self._dispatch_batch(chunk, n, real))
+        while pending:
+            yield pending.popleft()
 
     def _dispatch_batch(self, blocks: np.ndarray, n: int,
                         real_count: Optional[int] = None):
@@ -507,23 +526,29 @@ class TpuEncoder:
                     (ti, nfull, sig[:, nfull * spb :]))
 
         per_track_blocks = {ti: {} for ti in range(len(tracks))}
-        # full blocks, batched across tracks
+        # full blocks, batched across tracks (bounded dispatch-ahead, see
+        # encode_whole)
         if all_full:
             blocks = np.stack(all_full)
             bb = self.batch_blocks
-            pending = []
-            for start in range(0, blocks.shape[0], bb):
-                chunk = blocks[start : start + bb]
-                real = chunk.shape[0]
-                if real < bb:
-                    pad = np.zeros((bb - real,) + chunk.shape[1:], np.int32)
-                    chunk = np.concatenate([chunk, pad], axis=0)
-                pending.append((start, self._dispatch_batch(chunk, spb, real)))
-            for start, item in pending:
+
+            def gen():
+                for start in range(0, blocks.shape[0], bb):
+                    chunk = blocks[start : start + bb]
+                    real = chunk.shape[0]
+                    if real < bb:
+                        pad = np.zeros((bb - real,) + chunk.shape[1:],
+                                       np.int32)
+                        chunk = np.concatenate([chunk, pad], axis=0)
+                    yield (chunk, spb, real)
+
+            start = 0
+            for item in self._pipeline(gen()):
                 framed = self._drain_blocks(*item)
                 for off, block_bytes in enumerate(framed):
                     ti, b = placements[start + off]
                     per_track_blocks[ti][b] = block_bytes
+                start += item[3]
         # tails, grouped by length
         for tail_len, members in tails.items():
             batch = np.stack([m[2] for m in members])

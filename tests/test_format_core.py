@@ -221,3 +221,32 @@ sys.stdout.buffer.write(data)
                        capture_output=True)
     assert r.returncode == 0, r.stderr.decode()[-800:]
     assert r.stdout == native_bytes
+
+
+def test_huffman_compresses_real_file():
+    """Mirror of the reference's text-fixture test
+    (test/static_huffman/main.cpp:112-207): build a codebook from a real
+    file's byte frequencies, encode, decode, compare — and the coded size
+    must beat 8 bits/symbol on skewed text."""
+    import collections
+    import pathlib
+
+    from linne_tpu.format.bitstream import BitReader, BitWriter
+    from linne_tpu.format.huffman import HuffmanCodebook
+
+    data = (pathlib.Path(__file__).resolve().parent.parent
+            / "README.md").read_bytes()
+    counts = collections.Counter(data)
+    table = [counts.get(b, 0) for b in range(256)]
+    cb = HuffmanCodebook(table)
+
+    w = BitWriter()
+    for b in data:
+        cb.put(w, b)
+    w.flush()
+    coded = w.getvalue()
+    assert len(coded) < len(data)  # text is skewed; must compress
+
+    r = BitReader(coded)
+    out = bytes(cb.get(r) for _ in range(len(data)))
+    assert out == data
