@@ -238,22 +238,28 @@ extern "C" {
 
 // ------------------------------------------------------------------- crc16
 
-uint16_t linne_crc16(const uint8_t* data, uint64_t size) {
-    static uint16_t table[256];
-    static bool init = false;
-    if (!init) {
+namespace {
+struct Crc16Table {
+    uint16_t t[256];
+    Crc16Table() {
         for (uint32_t b = 0; b < 256; b++) {
             uint16_t crc = static_cast<uint16_t>(b);
             for (int i = 0; i < 8; i++)
                 crc = (crc & 1) ? static_cast<uint16_t>((crc >> 1) ^ 0xA001)
                                 : static_cast<uint16_t>(crc >> 1);
-            table[b] = crc;
+            t[b] = crc;
         }
-        init = true;
     }
+};
+}  // namespace
+
+uint16_t linne_crc16(const uint8_t* data, uint64_t size) {
+    // C++11 magic-static init: thread-safe for the decode worker pool
+    static const Crc16Table table;
     uint16_t crc = 0;
     for (uint64_t i = 0; i < size; i++)
-        crc = static_cast<uint16_t>((crc >> 8) ^ table[(crc ^ data[i]) & 0xFF]);
+        crc = static_cast<uint16_t>(
+            (crc >> 8) ^ table.t[(crc ^ data[i]) & 0xFF]);
     return crc;
 }
 

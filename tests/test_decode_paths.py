@@ -125,3 +125,31 @@ def test_decode_path_is_jax_free():
                        capture_output=True, text=True, env=env)
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip() == "ok"
+
+
+def test_threaded_stream_decode_matches_serial(encoded):
+    """The native stream decoder's worker pool (blocks are independent)
+    must produce identical output at any thread count — exercised with
+    more workers than cores so the pool path runs even on 1-CPU hosts."""
+    samples, data = encoded
+    serial = Decoder(DecoderConfig(num_threads=1)).decode_whole(data)
+    for nthr in (2, 4, 8):
+        threaded = Decoder(DecoderConfig(num_threads=nthr)).decode_whole(data)
+        for c in range(2):
+            assert np.array_equal(serial[c], threaded[c]), (nthr, c)
+
+
+def test_threaded_decode_error_propagation():
+    """A corrupt block must surface as a clean error from worker threads."""
+    from linne_tpu.format.block import CorruptionError
+
+    samples = WAVEFORMS["gauss"](10240 * 4, 2, 16)
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        preset=0, ch_process_method=CH_PROCESS_MS))
+    data = bytearray(enc.encode_whole([samples[0], samples[1]],
+                                      samples.shape[1]))
+    data[len(data) // 2] ^= 0xFF  # corrupt a payload byte mid-stream
+    with pytest.raises(CorruptionError):
+        Decoder(DecoderConfig(num_threads=8)).decode_whole(bytes(data))
