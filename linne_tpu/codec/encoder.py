@@ -608,7 +608,9 @@ class TpuEncoder:
         silent = side[:, 0, 1] != 0
         overflow = side[:, 0, 2] != 0
         for b in np.nonzero(overflow[:real])[0]:
-            res[b] = np.asarray(out_dev["residual"][b])
+            # res is padded to even width for the int16-pair bitcast; the
+            # int32 fallback row is exactly n wide
+            res[b, :, :n] = np.asarray(out_dev["residual"][b])[:, :n]
 
         pprev = side[..., 3:5]
         pcoef = side[..., 5:7]

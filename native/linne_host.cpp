@@ -365,7 +365,8 @@ int64_t linne_unpack_compress_payload(
 // bookkeeping dominates.
 static void synth_unit_plain(int32_t* data, int n, const int32_t* coef,
                              int npu, int rshift) {
-    int32_t half = 1 << (rshift - 1);
+    // corrupt streams may carry rshift=0 (4-bit field); 1<<-1 is UB
+    int32_t half = rshift >= 1 ? (1 << (rshift - 1)) : 0;
     for (int t = 0; t < n - npu; t++) {
         int32_t pred = half;
         for (int j = 0; j < npu; j++) pred += coef[j] * data[t + j];
@@ -381,7 +382,8 @@ static void synth_unit_plain(int32_t* data, int n, const int32_t* coef,
 template <int K>
 static void synth_unit_chunked(int32_t* data, int n, const int32_t* coef,
                                int npu, int rshift) {
-    int32_t half = 1 << (rshift - 1);
+    // corrupt streams may carry rshift=0 (4-bit field); 1<<-1 is UB
+    int32_t half = rshift >= 1 ? (1 << (rshift - 1)) : 0;
     int npred = n - npu;
     int t = 0;
     int32_t pre[K];
@@ -696,7 +698,8 @@ void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
     int npu = order / num_units;
     int ns = n / num_units;
     if (ns <= npu) return;
-    int32_t half = 1 << (rshift - 1);
+    // corrupt streams may carry rshift=0 (4-bit field); 1<<-1 is UB
+    int32_t half = rshift >= 1 ? (1 << (rshift - 1)) : 0;
     for (int u = 0; u < num_units; u++) {
         const int32_t* in = data + u * ns;
         int32_t* out = residual + u * ns;

@@ -1,0 +1,114 @@
+"""AddressSanitizer + UBSan lane for the native format layer.
+
+Runs the decoder's adversarial-input surface (random corruption,
+truncation, junk payloads, CRC off) against an instrumented build of
+linne_host.cpp, so out-of-bounds reads/writes and undefined shifts can't
+hide behind "it didn't crash".
+"""
+
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from conftest import WAVEFORMS
+
+from linne_tpu.codec.encoder import TpuEncoder
+from linne_tpu.codec.params import EncodeParameter
+from linne_tpu.constants import CH_PROCESS_MS
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _runtime(name):
+    gcc = shutil.which("gcc")
+    if not gcc:
+        return None
+    p = subprocess.run([gcc, f"-print-file-name={name}"],
+                       capture_output=True, text=True).stdout.strip()
+    return p if p and os.path.isabs(p) and os.path.exists(p) else None
+
+
+@pytest.mark.skipif(_runtime("libasan.so") is None,
+                    reason="no gcc/libasan on host")
+def test_native_decode_fuzz_is_asan_clean(tmp_path):
+    src = REPO_ROOT / "native" / "linne_host.cpp"
+    so = tmp_path / "lh_asan.so"
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
+         "-pthread", "-fsanitize=address,undefined",
+         "-fno-sanitize-recover=all", str(src), "-o", str(so)],
+        capture_output=True, text=True)
+    if build.returncode != 0:
+        pytest.skip(f"asan build unavailable: {build.stderr[-200:]}")
+
+    samples = WAVEFORMS["gauss"](10240 * 3 + 777, 2, 16)
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        preset=2, ch_process_method=CH_PROCESS_MS))
+    stream = tmp_path / "t.lnn"
+    stream.write_bytes(enc.encode_whole([samples[0], samples[1]],
+                                        samples.shape[1]))
+
+    code = f"""
+import sys, pathlib
+sys.path.insert(0, {str(REPO_ROOT)!r})
+import numpy as np
+import linne_tpu.native as N
+N._tried = False; N._lib = None
+N._LIB_PATH = pathlib.Path({str(so)!r})
+N._build = lambda: True
+from linne_tpu.codec.decoder import Decoder
+from linne_tpu.codec.params import DecoderConfig
+data = bytearray(open({str(stream)!r}, "rb").read())
+rng = np.random.default_rng(0)
+# clean decode first (both CRC settings, threaded too)
+for nthr in (1, 4):
+    Decoder(DecoderConfig(num_threads=nthr)).decode_whole(bytes(data))
+# corruption sweep with CRC checking OFF (worst case for the unpacker)
+for trial in range(120):
+    m = bytearray(data)
+    for _ in range(rng.integers(1, 6)):
+        m[rng.integers(30, len(m))] ^= int(rng.integers(1, 256))
+    try:
+        Decoder(DecoderConfig(check_crc=False,
+                              num_threads=int(rng.integers(1, 5))
+                              )).decode_whole(bytes(m))
+    except Exception:
+        pass
+# truncations
+for cut in range(1, 60):
+    try:
+        Decoder(DecoderConfig(check_crc=False)).decode_whole(
+            bytes(data[: len(data) * cut // 60]))
+    except Exception:
+        pass
+# pure junk with a valid header prefix
+for trial in range(30):
+    junk = bytes(data[:30]) + rng.integers(
+        0, 256, int(rng.integers(20, 4000))).astype("u1").tobytes()
+    try:
+        Decoder(DecoderConfig(check_crc=False)).decode_whole(junk)
+    except Exception:
+        pass
+print("ok")
+"""
+    env = dict(os.environ)
+    env["ASAN_OPTIONS"] = "detect_leaks=0"
+    preload = [_runtime("libasan.so")]
+    ub = _runtime("libubsan.so")
+    if ub:
+        preload.append(ub)
+    env["LD_PRELOAD"] = ":".join(preload)
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True)
+    bad = [l for l in r.stderr.splitlines()
+           if "ERROR: AddressSanitizer" in l or "runtime error:" in l]
+    assert r.returncode == 0 and not bad, (
+        f"rc={r.returncode}\n" + "\n".join(bad[:5]) + "\n" + r.stderr[-1200:])
+    assert r.stdout.strip() == "ok"

@@ -121,3 +121,23 @@ def test_encode_block_matches_encode_whole():
             take)
         pos += take
     assert bytes(out) == whole
+
+
+def test_int32_overflow_residual_row_odd_length():
+    """Residuals past int16 ride a separate int32 fallback row; with an odd
+    block length the int16 plane is padded to even width — regression for
+    the mismatched fallback assignment the sanitizer lane caught."""
+    n = 2048 + 777  # odd tail
+    t = np.arange(n)
+    sig = np.round(4_000_000 * np.sin(2 * np.pi * 220 * t / 44100)).astype(
+        np.int32)
+    sig[900] = 8_000_000  # transient: residual spike > int16
+    s = np.stack([sig, -sig])
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=24, sampling_rate=44100,
+        num_samples_per_block=2048, preset=0, ch_process_method=CH_PROCESS_MS))
+    data = enc.encode_whole([s[0], s[1]], n)
+    out = Decoder().decode_whole(data)
+    for c in range(2):
+        assert np.array_equal(out[c], s[c])
