@@ -95,6 +95,24 @@ for trial in range(30):
         Decoder(DecoderConfig(check_crc=False)).decode_whole(junk)
     except Exception:
         pass
+# native PACK path under sanitizers: adversarial residual planes (the
+# exact encoder routes bit emission through linne_pack_compress_payload)
+from linne_tpu.exact.encoder import ExactEncoder
+from linne_tpu.codec.params import EncodeParameter
+n = 2048 + 333
+t = np.arange(n)
+for sig in (
+    np.where(t % 2 == 0, 8388607, -8388608).astype(np.int32),  # nyquist 24b
+    (rng.integers(-8388608, 8388608, n)).astype(np.int32),     # white 24b
+    np.where(t % 64 == 0, 8388607, 0).astype(np.int32),        # impulses
+):
+    enc = ExactEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=24, sampling_rate=44100,
+        num_samples_per_block=2048, preset=7, ch_process_method=1))
+    out = enc.encode_whole([sig, -sig], n)
+    dec = Decoder().decode_whole(out)
+    assert np.array_equal(dec[0], sig) and np.array_equal(dec[1], -sig)
 print("ok")
 """
     env = dict(os.environ)
