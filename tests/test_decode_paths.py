@@ -153,3 +153,18 @@ def test_threaded_decode_error_propagation():
     data[len(data) // 2] ^= 0xFF  # corrupt a payload byte mid-stream
     with pytest.raises(CorruptionError):
         Decoder(DecoderConfig(num_threads=8)).decode_whole(bytes(data))
+
+
+def test_tpu_batch_decoder_mono_tail():
+    """Device-cascade decode of a mono stream with a tail block (two
+    block-length classes, single channel)."""
+    rng = np.random.default_rng(1)
+    n = 10240 * 2 + 555
+    sig = np.clip(rng.normal(0, 3000, (1, n)), -32768, 32767).astype(np.int32)
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=1, bits_per_sample=16, sampling_rate=44100,
+        preset=5, ch_process_method=0))
+    data = enc.encode_whole([sig[0]], n)
+    out = TpuDecoder().decode_whole(data)
+    assert np.array_equal(out[0], sig[0])
