@@ -46,7 +46,7 @@ from ..ops import analysis as A
 from ..ops import intops as I
 from ..ops import rice_search as R
 from ..presets import PRESETS
-from .params import EncodeParameter, EncoderConfig
+from .params import EncodeParameter, EncoderConfig, compress_viable
 
 _RAW_THRESHOLD = float(np.float32(0.95))
 
@@ -413,17 +413,27 @@ class TpuEncoder:
                         chunk = np.concatenate([chunk, pad], axis=0)
                     yield (chunk, spb, real)
             if tail:
+                tail_sig = signal[:, num_full * spb :]
+                if not compress_viable(self.preset, spb, tail):
+                    # too short for any unit split (the reference segfaults
+                    # on such tails): frame raw/silent on the host
+                    yield self._frame_short_block(tail_sig, tail)
+                    return
                 fn, num_analyze = self._analyze_fn(tail)
                 width = max(tail, num_analyze)
                 tail_block = np.zeros((1, p.num_channels, width),
                                       dtype=np.int32)
-                tail_block[0, :, :tail] = signal[:, num_full * spb :]
+                tail_block[0, :, :tail] = tail_sig
                 yield (tail_block, tail, None)
 
         done = 0
         for item in self._pipeline(gen_batches()):
-            out += b"".join(self._drain_batch(*item))
-            done += item[3] * item[2]  # real blocks * block length
+            if isinstance(item, bytes):  # host-framed short block
+                out += item
+                done = num_samples
+            else:
+                out += b"".join(self._drain_batch(*item))
+                done += item[3] * item[2]  # real blocks * block length
             if progress_cb is not None:
                 progress_cb(min(done, num_samples), num_samples)
         return bytes(out)
@@ -432,16 +442,35 @@ class TpuEncoder:
 
     def _pipeline(self, batch_args):
         """Dispatch ahead by PIPELINE_DEPTH, yielding dispatched items in
-        order for draining."""
+        order for draining. Pre-framed bytes (host-encoded short blocks)
+        pass through after the batches in flight, preserving block order."""
         from collections import deque
 
         pending = deque()
-        for chunk, n, real in batch_args:
+        for args in batch_args:
+            if isinstance(args, bytes):
+                while pending:
+                    yield pending.popleft()
+                yield args
+                continue
+            chunk, n, real = args
             if len(pending) >= self.PIPELINE_DEPTH:
                 yield pending.popleft()
             pending.append(self._dispatch_batch(chunk, n, real))
         while pending:
             yield pending.popleft()
+
+    def _frame_short_block(self, block_sig: np.ndarray, n: int) -> bytes:
+        """Host-framed raw/silent block for lengths with no admissible unit
+        split (shorter than the largest layer order — the reference C
+        encoder segfaults on these)."""
+        p = self.parameter
+        if not np.any(block_sig[:, :n]):
+            return frame_block(BLOCK_TYPE_SILENT, n, b"")
+        payload = write_raw_payload(
+            [block_sig[ch, :n] for ch in range(p.num_channels)],
+            p.bits_per_sample)
+        return frame_block(BLOCK_TYPE_RAW, n, payload)
 
     def _dispatch_batch(self, blocks: np.ndarray, n: int,
                         real_count: Optional[int] = None):
@@ -496,6 +525,8 @@ class TpuEncoder:
         block = np.zeros((1, p.num_channels, n), dtype=np.int32)
         for c in range(p.num_channels):
             block[0, c] = np.asarray(channels[c][:n], dtype=np.int32)
+        if not compress_viable(self.preset, p.num_samples_per_block, n):
+            return self._frame_short_block(block[0], n)
         return self._encode_batch(block, n)
 
     def encode_many(self, tracks: Sequence[Sequence[np.ndarray]],
@@ -551,6 +582,11 @@ class TpuEncoder:
                 start += item[3]
         # tails, grouped by length
         for tail_len, members in tails.items():
+            if not compress_viable(self.preset, spb, tail_len):
+                for ti, b, data in members:
+                    per_track_blocks[ti][b] = self._frame_short_block(
+                        data, tail_len)
+                continue
             batch = np.stack([m[2] for m in members])
             fn, num_analyze = self._analyze_fn(tail_len)
             width = max(tail_len, num_analyze)

@@ -71,6 +71,36 @@ class EncodeParameter:
                 raise ValueError("block must be larger than every layer order")
 
 
+def analysis_length(preset, num_samples_per_block: int, n: int) -> int:
+    """Samples the analysis runs on for an n-sample block: n rounded up to a
+    unit multiple, at least the largest layer order, capped at the block
+    size (reference: linne_encoder.c:643-655)."""
+    rounded = ((n + 7) // 8) * 8  # 1 << LOG2_NUM_UNITS_BITWIDTH
+    return min(num_samples_per_block, max(preset.max_num_params, rounded))
+
+
+def compress_viable(preset, num_samples_per_block: int, n: int) -> bool:
+    """Whether an n-sample block can carry a compress payload: every layer
+    needs at least one admissible unit split (samples-per-unit strictly
+    greater than params-per-unit, linne_network.c:284-295). Blocks shorter
+    than the largest layer order have none — the reference C encoder
+    SEGFAULTS on such tails (e.g. a 37-sample tail at -m 7); this framework
+    falls back to a RAW/SILENT block instead."""
+    num_analyze = analysis_length(preset, num_samples_per_block, n)
+    for order in preset.layer_num_params:
+        u = 1
+        ok = False
+        while u <= min(128, order):
+            if (order % u == 0 and num_analyze % u == 0
+                    and (num_analyze // u) > (order // u)):
+                ok = True
+                break
+            u <<= 1
+        if not ok:
+            return False
+    return True
+
+
 @dataclass
 class DecoderConfig:
     max_num_channels: int = MAX_NUM_CHANNELS

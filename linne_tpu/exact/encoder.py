@@ -31,7 +31,7 @@ from ..constants import (
     TRAINING_LOSS_EPSILON,
     TRAINING_MAX_NUM_ITERATIONS,
 )
-from ..codec.params import EncodeParameter, EncoderConfig
+from ..codec.params import EncodeParameter, EncoderConfig, compress_viable
 from ..format.block import (
     CompressBlockSideInfo,
     frame_block,
@@ -84,6 +84,14 @@ class ExactEncoder:
 
     def _decide_block_type(self, channels: Sequence[np.ndarray], n: int) -> int:
         p = self.parameter
+        if not compress_viable(self.preset, p.num_samples_per_block, n):
+            # blocks shorter than the largest layer order have no admissible
+            # unit split; the reference C encoder segfaults here — emit the
+            # (decodable-everywhere) raw/silent forms instead
+            for ch in range(p.num_channels):
+                if np.any(channels[ch][:n]):
+                    return BLOCK_TYPE_RAW
+            return BLOCK_TYPE_SILENT
         scale = 2.0 ** (-(p.bits_per_sample - 1))
         mean_length = 0.0
         for ch in range(p.num_channels):

@@ -83,3 +83,36 @@ def test_mixed_silent_and_content_blocks():
     data = _roundtrip(samples)
     # silent block must actually be cheap
     assert len(data) < 2 * 2560 * 2 * 2
+
+
+def test_tail_shorter_than_layer_order():
+    """Tails shorter than the largest layer order have no admissible unit
+    split. The reference C encoder SEGFAULTS on these (e.g. 37-sample tail
+    at -m 7); both our encoders must emit decodable raw/silent blocks."""
+    from linne_tpu.codec.decoder import Decoder
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    rng = np.random.default_rng(3)
+    for preset, tail in ((7, 37), (5, 100), (2, 17), (0, 1)):
+        n = 10240 + tail
+        sig = np.clip(rng.normal(0, 3000, (2, n)), -32768, 32767).astype(
+            np.int32)
+        for enc_cls in (TpuEncoder, ExactEncoder):
+            enc = enc_cls()
+            enc.set_encode_parameter(EncodeParameter(
+                num_channels=2, bits_per_sample=16, sampling_rate=44100,
+                preset=preset, ch_process_method=CH_PROCESS_MS))
+            data = enc.encode_whole([sig[0], sig[1]], n)
+            out = Decoder().decode_whole(data)
+            for c in range(2):
+                assert np.array_equal(out[c], sig[c]), (
+                    enc_cls.__name__, preset, tail)
+        # silent short tail
+        zsig = np.zeros((2, n), np.int32)
+        enc = TpuEncoder()
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=2, bits_per_sample=16, sampling_rate=44100,
+            preset=preset, ch_process_method=CH_PROCESS_MS))
+        data = enc.encode_whole([zsig[0], zsig[1]], n)
+        out = Decoder().decode_whole(data)
+        assert all(np.array_equal(out[c], zsig[c]) for c in range(2))
