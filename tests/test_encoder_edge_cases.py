@@ -116,3 +116,26 @@ def test_tail_shorter_than_layer_order():
         data = enc.encode_whole([zsig[0], zsig[1]], n)
         out = Decoder().decode_whole(data)
         assert all(np.array_equal(out[c], zsig[c]) for c in range(2))
+
+
+def test_reference_decodes_short_tail_stream(tmp_path):
+    """The C decoder must accept our raw/silent short-tail blocks — streams
+    its own encoder cannot produce (it segfaults on such inputs)."""
+    from conftest import have_reference_cli, reference_decode
+    from linne_tpu.io.wav import read_wav, write_wav
+
+    if not have_reference_cli():
+        pytest.skip("reference CLI not built")
+    rng = np.random.default_rng(5)
+    n = 10240 + 37
+    sig = np.clip(rng.normal(0, 3000, (2, n)), -32768, 32767).astype(np.int32)
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        preset=7, ch_process_method=CH_PROCESS_MS))
+    lnn = tmp_path / "short_tail.lnn"
+    lnn.write_bytes(enc.encode_whole([sig[0], sig[1]], n))
+    wav = tmp_path / "back.wav"
+    reference_decode(lnn, wav)
+    _, restored = read_wav(str(wav))
+    assert np.array_equal(restored, sig)
