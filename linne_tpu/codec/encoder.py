@@ -55,6 +55,24 @@ def _roundup(val: int, n: int) -> int:
     return ((val + n - 1) // n) * n
 
 
+def _res_pack_width(bps: int) -> int:
+    """Static bit width of the device->host residual plane. D2H bandwidth is
+    the encode bottleneck (docs/PROFILE_r2.md): residuals of compressible
+    material fit well under the sample width, so the plane carries W bits per
+    sample (two's complement); the rare blocks that exceed it fall back to
+    the full int32 tensor (per-block flag, see _drain_batch)."""
+    return 14 if bps <= 16 else 24
+
+
+def _pack_geometry(width: int):
+    """(samples per group, words per group) for a W-bit plane: groups of g
+    samples pack exactly into g*W/32 int32 words."""
+    import math
+
+    g = 32 // math.gcd(width, 32)
+    return g, width * g // 32
+
+
 def default_analysis_dtype():
     try:
         platform = jax.devices()[0].platform
@@ -225,9 +243,9 @@ class TpuEncoder:
                     unit_choices[li])
             porder, k2s = R.rice_search(
                 x, jnp.float64 if dtype == jnp.float64 else jnp.float32)
-            res16 = jnp.clip(x, -32768, 32767).astype(jnp.int16)
-            res_overflow = jnp.any(
-                (x > 32767) | (x < -32768), axis=(-2, -1))
+            W = _res_pack_width(bps)
+            lim = 1 << (W - 1)
+            res_overflow = jnp.any((x >= lim) | (x < -lim), axis=(-2, -1))
             B = x.shape[0]
             C = x.shape[1]
 
@@ -261,13 +279,21 @@ class TpuEncoder:
                                 axis=-1)))
             parts.append(pack_bytes(k2s.astype(jnp.int32)))
             side = jnp.concatenate(parts, axis=-1)
-            # single-pull packing: the int16 residual plane rides inside the
-            # int32 side tensor (two samples per word) so a batch costs ONE
-            # host round trip (plus rare int32 overflow fallback rows)
-            if res16.shape[-1] % 2:
-                res16 = jnp.pad(res16, [(0, 0), (0, 0), (0, 1)])
+            # single-pull packing: the W-bit residual plane rides inside the
+            # int32 side tensor so a batch costs ONE host round trip (plus
+            # rare overflow fallback rows pulled from the int32 tensor)
+            g, wpg = _pack_geometry(W)
+            pad = (-x.shape[-1]) % g
+            xr = jnp.pad(x, [(0, 0), (0, 0), (0, pad)]) if pad else x
+            u = (xr & ((1 << W) - 1)).astype(jnp.uint32).reshape(B, C, -1, g)
+            acc = [jnp.zeros(u.shape[:-1], jnp.uint32) for _ in range(wpg)]
+            for j in range(g):
+                k, off = divmod(j * W, 32)
+                acc[k] = acc[k] | (u[..., j] << off)
+                if off + W > 32:
+                    acc[k + 1] = acc[k + 1] | (u[..., j] >> (32 - off))
             res_words = jax.lax.bitcast_convert_type(
-                res16.reshape(B, C, -1, 2), jnp.int32)
+                jnp.stack(acc, axis=-1).reshape(B, C, -1), jnp.int32)
             packed = jnp.concatenate([side, res_words], axis=-1)
             return dict(packed=packed, residual=x)
 
@@ -626,27 +652,51 @@ class TpuEncoder:
             return w.view(np.int8).astype(np.int32)
         return w.astype(np.int32)
 
+    @staticmethod
+    def _unpack_res(words: np.ndarray, width: int) -> np.ndarray:
+        """[B, C, ceil(n/g)*wpg] int32 words -> [B, C, >=n] int32 residuals
+        (inverse of the W-bit device pack in _finish)."""
+        g, wpg = _pack_geometry(width)
+        w = np.ascontiguousarray(words).view(np.uint32)
+        w = w.reshape(words.shape[:-1] + (-1, wpg))
+        out = np.empty(w.shape[:-1] + (g,), np.uint32)
+        for j in range(g):
+            k, off = divmod(j * width, 32)
+            v = w[..., k] >> np.uint32(off)
+            if off + width > 32:
+                v = v | (w[..., k + 1] << np.uint32(32 - off))
+            out[..., j] = v
+        out &= (1 << width) - 1
+        res = out.reshape(words.shape[:-1] + (-1,)).astype(np.int32)
+        sign = 1 << (width - 1)
+        return (res ^ sign) - sign
+
     def _drain_batch(self, out_dev, blocks: np.ndarray, n: int,
                      real: int) -> bytes:
         """ONE host pull per batch (side info + byte-packed coef/k2 planes +
-        packed int16 residuals); int32 residual rows are fetched only for
-        overflowed blocks."""
+        W-bit-packed residuals); int32 residual rows are fetched only for
+        the rare blocks whose residual exceeds W bits."""
         p = self.parameter
         L = self.preset.num_layers
         total_order = sum(self.preset.layer_num_params)
         (off_layers, off_porder, off_coefw, off_k2w, side_k,
          max_parts) = self._side_layout(n)
-        packed = np.asarray(out_dev["packed"])      # [B, C, K + ceil(n/2)]
+        packed = np.asarray(out_dev["packed"])      # [B, C, K + res words]
         side = packed[..., :side_k]
-        res = np.ascontiguousarray(packed[..., side_k:]).view(np.int16)
-        res = res.reshape(packed.shape[0], packed.shape[1], -1).astype(np.int32)
+        res = self._unpack_res(
+            packed[..., side_k:], _res_pack_width(p.bits_per_sample))
         raw = side[:, 0, 0] != 0
         silent = side[:, 0, 1] != 0
         overflow = side[:, 0, 2] != 0
-        for b in np.nonzero(overflow[:real])[0]:
-            # res is padded to even width for the int16-pair bitcast; the
-            # int32 fallback row is exactly n wide
-            res[b, :, :n] = np.asarray(out_dev["residual"][b])[:, :n]
+        # raw/silent blocks never read residuals; fetch fallback rows in one
+        # padded-size gather (pow-2 padding bounds jit specializations)
+        ov = np.nonzero(overflow[:real] & ~raw[:real] & ~silent[:real])[0]
+        if ov.size:
+            m = 1 << (int(ov.size) - 1).bit_length()
+            idx = np.concatenate([ov, np.full(m - ov.size, ov[-1], ov.dtype)])
+            rows = np.asarray(out_dev["residual"][jnp.asarray(idx)])
+            for i, b in enumerate(ov):
+                res[b, :, :n] = rows[i][:, :n]
 
         pprev = side[..., 3:5]
         pcoef = side[..., 5:7]

@@ -123,10 +123,33 @@ def test_encode_block_matches_encode_whole():
     assert bytes(out) == whole
 
 
+def test_residual_overflow_fallback_16bit_spike():
+    """A tonal 16-bit signal with a transient whose residual exceeds the
+    14-bit packed plane (but not int16) must take the int32 fallback row and
+    stay lossless."""
+    n = 10240 + 511
+    t = np.arange(n)
+    sig = np.round(9000 * np.sin(2 * np.pi * 220 * t / 44100)).astype(
+        np.int32)
+    sig[5000] = 32000  # residual spike in (8191, 32767]
+    sig[5001] = -32767
+    s = np.stack([sig, -sig])
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=10240, preset=0,
+        ch_process_method=CH_PROCESS_MS))
+    data = enc.encode_whole([s[0], s[1]], n)
+    out = Decoder().decode_whole(data)
+    for c in range(2):
+        assert np.array_equal(out[c], s[c])
+
+
 def test_int32_overflow_residual_row_odd_length():
-    """Residuals past int16 ride a separate int32 fallback row; with an odd
-    block length the int16 plane is padded to even width — regression for
-    the mismatched fallback assignment the sanitizer lane caught."""
+    """Residuals past the packed plane ride a separate int32 fallback row;
+    with an odd block length the packed plane is padded to the group width —
+    regression for the mismatched fallback assignment the sanitizer lane
+    caught."""
     n = 2048 + 777  # odd tail
     t = np.arange(n)
     sig = np.round(4_000_000 * np.sin(2 * np.pi * 220 * t / 44100)).astype(
