@@ -683,8 +683,13 @@ class TpuEncoder:
          max_parts) = self._side_layout(n)
         packed = np.asarray(out_dev["packed"])      # [B, C, K + res words]
         side = packed[..., :side_k]
-        res = self._unpack_res(
-            packed[..., side_k:], _res_pack_width(p.bits_per_sample))
+        W = _res_pack_width(p.bits_per_sample)
+        if native.available():
+            g, _ = _pack_geometry(W)
+            res = native.unpack_bits(packed[..., side_k:], W,
+                                     _roundup(n, g))
+        else:
+            res = self._unpack_res(packed[..., side_k:], W)
         raw = side[:, 0, 0] != 0
         silent = side[:, 0, 1] != 0
         overflow = side[:, 0, 2] != 0

@@ -105,6 +105,12 @@ def _load():
             _i32p,
         ]
 
+        lib.linne_unpack_bits.restype = None
+        lib.linne_unpack_bits.argtypes = [
+            _u32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, _i32p,
+        ]
+
         lib.linne_predict_layer.restype = None
         lib.linne_predict_layer.argtypes = [
             _i32p, _i32p, ctypes.c_int32, _i32p, ctypes.c_int32,
@@ -230,6 +236,17 @@ class StreamDecodeError(RuntimeError):
 
 class StreamCrcError(StreamDecodeError):
     pass
+
+
+def unpack_bits(words: np.ndarray, width: int, n: int) -> np.ndarray:
+    """[..., words_per_row] int32/uint32 words -> [..., n] int32 samples
+    (W-bit two's complement, little-endian bit order within words)."""
+    lead = words.shape[:-1]
+    wpr = words.shape[-1]
+    w = np.ascontiguousarray(words).view(np.uint32).reshape(-1, wpr)
+    out = np.empty((w.shape[0], n), dtype=np.int32)
+    lib().linne_unpack_bits(w, w.shape[0], wpr, width, n, out)
+    return out.reshape(lead + (n,))
 
 
 def deemphasis(data: np.ndarray, prevs: np.ndarray, coefs: np.ndarray) -> None:

@@ -690,6 +690,30 @@ int32_t linne_decode_stream(
     return err.load();
 }
 
+// Unpack a W-bit two's-complement sample plane (the slim device->host
+// residual transfer, see codec/encoder.py _finish) into int32 samples.
+// rows are independent; layout per row: groups of g samples in g*W/32
+// little-endian 32-bit words, W in [2, 32).
+void linne_unpack_bits(const uint32_t* words, int64_t nrows,
+                       int32_t words_per_row, int32_t width, int32_t n,
+                       int32_t* out) {
+    const uint32_t mask = (width < 32) ? ((1u << width) - 1u) : ~0u;
+    const int32_t sign = 1 << (width - 1);
+    for (int64_t r = 0; r < nrows; r++) {
+        const uint32_t* w = words + r * words_per_row;
+        int32_t* o = out + r * n;
+        int64_t bit = 0;
+        for (int32_t i = 0; i < n; i++, bit += width) {
+            int64_t k = bit >> 5;
+            int off = (int)(bit & 31);
+            uint32_t v = w[k] >> off;
+            if (off + width > 32) v |= w[k + 1] << (32 - off);
+            v &= mask;
+            o[i] = (int32_t)((v ^ (uint32_t)sign) - (uint32_t)sign);
+        }
+    }
+}
+
 // Encoder-side integer predict cascade for host use (tests/tools).
 void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
                          const int32_t* coef, int32_t order, int32_t rshift,
