@@ -16,8 +16,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
-
 from .codec.params import DecoderConfig, EncodeParameter, EncoderConfig
 from .constants import CH_PROCESS_MS, CH_PROCESS_NONE
 from .io.wav import read_wav, write_wav
@@ -108,7 +106,7 @@ def do_decode(args) -> int:
     channels = dec.decode_whole(data)
     dt = time.perf_counter() - t0
     header = dec.header
-    write_wav(args.output, np.stack(channels), header.sampling_rate,
+    write_wav(args.output, channels, header.sampling_rate,
               header.bits_per_sample)
     if args.verbose:
         secs = header.num_samples / header.sampling_rate

@@ -75,32 +75,41 @@ def read_wav(path: str):
     return WavFormat(nch, rate, bps, total), samples
 
 
-def write_wav(path: str, samples: np.ndarray, sampling_rate: int,
+def write_wav(path: str, samples, sampling_rate: int,
               bits_per_sample: int) -> None:
-    """samples: [ch, n] int32 at native precision."""
-    nch, n = samples.shape
+    """samples: [ch, n] int32 at native precision — a 2D array or any
+    sequence of per-channel 1D arrays (views are fine; the interleave below
+    is the only full copy made)."""
+    chans = [np.asarray(c) for c in samples]
+    nch = len(chans)
+    n = chans[0].shape[0]
     bps = bits_per_sample
-    interleaved = samples.T.reshape(-1)
     if bps == 8:
-        body = (interleaved + 128).astype(np.uint8).tobytes()
+        body = np.empty((n, nch), dtype=np.uint8)
+        for c, ch in enumerate(chans):
+            body[:, c] = ch + 128
     elif bps == 16:
-        body = interleaved.astype("<i2").tobytes()
+        body = np.empty((n, nch), dtype="<i2")
+        for c, ch in enumerate(chans):
+            body[:, c] = ch
     elif bps == 24:
-        u = interleaved.astype(np.int32).view(np.uint32) & 0xFFFFFF
-        b = np.empty((u.shape[0], 3), dtype=np.uint8)
-        b[:, 0] = u & 0xFF
-        b[:, 1] = (u >> 8) & 0xFF
-        b[:, 2] = (u >> 16) & 0xFF
-        body = b.tobytes()
+        body = np.empty((n, nch, 3), dtype=np.uint8)
+        for c, ch in enumerate(chans):
+            body[:, c, 0] = ch & 0xFF
+            body[:, c, 1] = (ch >> 8) & 0xFF
+            body[:, c, 2] = (ch >> 16) & 0xFF
     elif bps == 32:
-        body = interleaved.astype("<i4").tobytes()
+        body = np.empty((n, nch), dtype="<i4")
+        for c, ch in enumerate(chans):
+            body[:, c] = ch
     else:
         raise WavError(f"unsupported bits_per_sample {bps}")
     block_align = nch * (bps // 8)
     fmt = struct.pack("<HHIIHH", 1, nch, sampling_rate,
                       sampling_rate * block_align, block_align, bps)
-    riff_size = 4 + (8 + len(fmt)) + (8 + len(body))
+    riff_size = 4 + (8 + len(fmt)) + (8 + body.nbytes)
     with open(path, "wb") as f:
         f.write(b"RIFF" + struct.pack("<I", riff_size) + b"WAVE")
         f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
-        f.write(b"data" + struct.pack("<I", len(body)) + body)
+        f.write(b"data" + struct.pack("<I", body.nbytes))
+        f.write(body)
