@@ -164,3 +164,75 @@ def test_int32_overflow_residual_row_odd_length():
     out = Decoder().decode_whole(data)
     for c in range(2):
         assert np.array_equal(out[c], s[c])
+
+
+def test_native_unpack_bits_matches_numpy():
+    """The native residual-plane unpack (linne_unpack_bits) and the numpy
+    fallback (TpuEncoder._unpack_res) must agree for every supported width
+    and ragged length."""
+    from linne_tpu import native
+    from linne_tpu.codec.encoder import _pack_geometry
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(7)
+    for width in (14, 24):
+        g, wpg = _pack_geometry(width)
+        for n in (10240, 512, g, 1, 777):
+            wpr = ((n + g - 1) // g) * wpg
+            words = rng.integers(
+                -2**31, 2**31 - 1, size=(3, 2, wpr), dtype=np.int64
+            ).astype(np.int32)
+            a = TpuEncoder._unpack_res(words, width)
+            b = native.unpack_bits(words, width, a.shape[-1])
+            assert np.array_equal(a, b), (width, n)
+
+
+def test_tpu_encoder_no_native_fallback_byte_identical():
+    """With LINNE_NO_NATIVE=1 the TpuEncoder drain takes the numpy unpack
+    and the BitWriter packing path; output bytes must match the native
+    path exactly."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    n = 2048 * 2 + 600
+    sig = WAVEFORMS["gauss"](n, 2, 16)
+    enc = TpuEncoder(batch_blocks=2)
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=2048, preset=1,
+        ch_process_method=CH_PROCESS_MS))
+    native_bytes = enc.encode_whole([sig[0], sig[1]], n)
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    code = f"""
+import sys
+sys.path.insert(0, {str(repo)!r})
+sys.path.insert(0, {str(repo / 'tests')!r})
+import numpy as np
+from conftest import WAVEFORMS
+from linne_tpu import native
+assert not native.available(), 'LINNE_NO_NATIVE not honored'
+from linne_tpu.codec.params import EncodeParameter
+from linne_tpu.codec.encoder import TpuEncoder
+from linne_tpu.codec.decoder import Decoder
+n = {n}
+sig = WAVEFORMS['gauss'](n, 2, 16)
+enc = TpuEncoder(batch_blocks=2)
+enc.set_encode_parameter(EncodeParameter(
+    num_channels=2, bits_per_sample=16, sampling_rate=44100,
+    num_samples_per_block=2048, preset=1, ch_process_method=1))
+data = enc.encode_whole([sig[0], sig[1]], n)
+ch = Decoder().decode_whole(data)
+assert all(np.array_equal(ch[i], sig[i]) for i in range(2)), 'not lossless'
+sys.stdout.buffer.write(data)
+"""
+    env = dict(os.environ)
+    env["LINNE_NO_NATIVE"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    assert r.stdout == native_bytes
