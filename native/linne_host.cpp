@@ -12,13 +12,17 @@
 // whole-byte stores, and LUT-free tree-walk Huffman decode fed from arrays
 // supplied by the Python layer.
 //
-// Exposed as a plain C ABI for ctypes.
+// Exposed as a plain C ABI for ctypes — and for non-Python embedders via
+// linne_host.h (the decode-only `linnedec` deployment analog); including
+// the header here makes any declaration/definition drift a compile error.
 
 #include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#include "linne_host.h"
 
 namespace {
 

@@ -1,0 +1,107 @@
+/* linne_host — C ABI of the native host runtime (linne_host.so).
+ *
+ * This is the embeddable analog of the reference's decode-only `linnedec`
+ * static-library target (reference: CMakeLists.txt:5-29): the whole-stream
+ * decoder, payload pack/unpack, CRC and the integer filters are exported
+ * with C linkage and no dependency beyond libc/libpthread, so a non-Python
+ * host can link the .so directly. The Python package binds the same symbols
+ * via ctypes (linne_tpu/native.py).
+ *
+ * Build:  g++ -O3 -fwrapv -fPIC -shared -std=c++17 -pthread \
+ *             linne_host.cpp -o linne_host.so
+ *
+ * All multi-channel arrays are row-major [nch][...] as annotated. Huffman
+ * tree arrays (node0/node1/root) and the per-preset code tables come from
+ * the preset's 256-entry coefficient frequency table; see
+ * linne_tpu/format/huffman.py for the builder and docs/FORMAT.md for the
+ * wire layout.
+ */
+#ifndef LINNE_HOST_H
+#define LINNE_HOST_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* CRC16-IBM (poly 0xA001 reflected), init 0 — the per-block checksum. */
+uint16_t linne_crc16(const uint8_t* data, uint64_t size);
+
+/* Serialize one COMPRESS block payload (preemph state, unit/rshift/Huffman
+ * coefficient side info, partitioned recursive-Rice residual planes).
+ * Returns payload byte size, or -1 if out_cap is too small. */
+int64_t linne_pack_compress_payload(
+    const int32_t* residuals,     /* [nch][n] */
+    const int32_t* coefs,         /* [nch][total_order] */
+    const int32_t* log2_units,    /* [nch][nlayers] */
+    const int32_t* rshifts,       /* [nch][nlayers] */
+    const int32_t* preemph_prev,  /* [nch][nstages] */
+    const int32_t* preemph_coef,  /* [nch][nstages] */
+    const int32_t* porder,        /* [nch] */
+    const int32_t* k2s,           /* [nch][max_parts] */
+    const uint32_t* huff_codes,   /* [256] */
+    const uint8_t* huff_lens,     /* [256] */
+    int32_t nch, int32_t n, int32_t bps, int32_t nlayers,
+    const int32_t* orders, int32_t nstages, int32_t max_parts,
+    uint8_t* out, int64_t out_cap);
+
+/* Parse one COMPRESS block payload. Returns consumed (byte-aligned) byte
+ * count, or -1 on malformed input. */
+int64_t linne_unpack_compress_payload(
+    const uint8_t* data, int64_t size,
+    const int16_t* huff_node0, const int16_t* huff_node1, int32_t huff_root,
+    int32_t num_symbols,
+    int32_t nch, int32_t n, int32_t bps, int32_t nlayers,
+    const int32_t* orders, int32_t nstages,
+    int32_t* residuals,     /* [nch][n] */
+    int32_t* coefs,         /* [nch][total_order] */
+    int32_t* log2_units,    /* [nch][nlayers] */
+    int32_t* rshifts,       /* [nch][nlayers] */
+    int32_t* preemph_prev,  /* [nch][nstages] */
+    int32_t* preemph_coef); /* [nch][nstages] */
+
+/* Reconstruct one block in place from residual planes: reversed layer
+ * cascade (unit IIR synthesis), two-stage de-emphasis, MS->LR. */
+void linne_synthesize_block(
+    int32_t* chdata,              /* [nch][n] residuals -> samples */
+    const int32_t* coefs, const int32_t* log2_units, const int32_t* rshifts,
+    const int32_t* preemph_prev, const int32_t* preemph_coef,
+    int32_t nch, int32_t n, int32_t nlayers, const int32_t* orders,
+    int32_t nstages, int32_t ms);
+
+/* Standalone fused multi-stage de-emphasis of one channel plane. */
+void linne_deemphasis(int32_t* data, int32_t n, const int32_t* prevs,
+                      const int32_t* coefs, int32_t nstages);
+
+/* Whole-stream decode: scan all block frames of a .lnn body (bytes after
+ * the 30-byte global header), verify sync/CRC, entropy-decode and
+ * synthesize every block, threaded over independent blocks (num_threads
+ * <= 0 selects hardware concurrency). Output planes are out[ch][sample].
+ * Returns 0 ok, -1 malformed stream, -2 CRC mismatch, -3 corrupt payload. */
+int32_t linne_decode_stream(
+    const uint8_t* data, int64_t size, int64_t total_samples,
+    const int16_t* huff_node0, const int16_t* huff_node1, int32_t huff_root,
+    int32_t num_symbols,
+    int32_t nch, int32_t bps, int32_t nlayers, const int32_t* orders,
+    int32_t nstages, int32_t ms, int32_t check_crc, int32_t num_threads,
+    int32_t* out);
+
+/* Encoder-side integer predict cascade for one layer (residual[t] =
+ * data[t] + (rounded >> rshift) prediction), unit-split semantics of
+ * linne_lpc_predict.c. */
+void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
+                         const int32_t* coef, int32_t order, int32_t rshift,
+                         int32_t num_units);
+
+/* Unpack a W-bit two's-complement sample plane (the slim device->host
+ * residual transfer) into int32 samples; rows are independent. */
+void linne_unpack_bits(const uint32_t* words, int64_t nrows,
+                       int32_t words_per_row, int32_t width, int32_t n,
+                       int32_t* out);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* LINNE_HOST_H */
