@@ -75,12 +75,18 @@ class LinneTpuCodec:
             warm = np.zeros((fmt.num_channels, fmt.num_samples), np.int32)
             enc.encode_whole(list(warm), fmt.num_samples)
             self._encoders[key] = enc
-        t0 = time.perf_counter()
-        data = enc.encode_whole(list(samples), fmt.num_samples)
-        enc_t = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        decoded = Decoder().decode_whole(data)
-        dec_t = time.perf_counter() - t0
+        # best-of-N: the tunnel's RPC throughput swings up to 5x between
+        # minutes (docs/PROFILE_r2.md), so a single sample measures weather
+        enc_t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            data = enc.encode_whole(list(samples), fmt.num_samples)
+            enc_t = min(enc_t, time.perf_counter() - t0)
+        dec_t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decoded = Decoder().decode_whole(data)
+            dec_t = min(dec_t, time.perf_counter() - t0)
         assert all(np.array_equal(decoded[c], samples[c])
                    for c in range(fmt.num_channels)), "not lossless!"
         orig = wav_path.stat().st_size
@@ -106,13 +112,17 @@ class CliCodec:
             if f.exists():
                 f.unlink()
         cmd = [c.format(inp=str(wav_path), out=str(comp)) for c in self.enc_cmd]
-        t0 = time.perf_counter()
-        subprocess.run(cmd, check=True, capture_output=True)
-        enc_t = time.perf_counter() - t0
+        enc_t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            subprocess.run(cmd, check=True, capture_output=True)
+            enc_t = min(enc_t, time.perf_counter() - t0)
         cmd = [c.format(inp=str(comp), out=str(resto)) for c in self.dec_cmd]
-        t0 = time.perf_counter()
-        subprocess.run(cmd, check=True, capture_output=True)
-        dec_t = time.perf_counter() - t0
+        dec_t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            subprocess.run(cmd, check=True, capture_output=True)
+            dec_t = min(dec_t, time.perf_counter() - t0)
         _, restored = read_wav(str(resto))
         assert np.array_equal(restored, samples), f"{self.name}: not lossless"
         return CodecResult(100 * enc_t / duration, 100 * dec_t / duration,
