@@ -86,12 +86,22 @@ class TpuEncoder:
     (reference: include/linne_encoder.h:35-61) with a batched core."""
 
     def __init__(self, config: Optional[EncoderConfig] = None,
-                 analysis_dtype=None, batch_blocks: int = 64, mesh=None):
+                 analysis_dtype=None, batch_blocks: int = 64, mesh=None,
+                 tail_mode: str = "auto"):
         """`mesh`: an optional jax.sharding.Mesh with a 'blocks' axis. When
         set, every dispatched batch is sharded over it — blocks are fully
         independent (SURVEY.md §2, linne_encoder.c:637), so the analysis
         partitions with zero collectives and output bytes are identical to
-        the single-device encode."""
+        the single-device encode.
+
+        `tail_mode`: how partial trailing blocks (length < num_samples_per_
+        block) are encoded. Each DISTINCT tail length needs its own device
+        compilation — ~4 minutes cold through the remote-TPU tunnel — while
+        the bit-exact host encoder handles one such block in 0.2-2.3 s.
+        "host" always uses the host encoder, "device" always compiles,
+        "auto" (default) uses the host for small one-off tails and the
+        device when a compiled function already exists or enough same-length
+        tails are batched (corpus case) to amortize the compile."""
         self.config = config or EncoderConfig()
         self.config.validate()
         self.dtype = analysis_dtype or default_analysis_dtype()
@@ -100,10 +110,14 @@ class TpuEncoder:
         if mesh is not None:
             ndev = int(np.prod(mesh.devices.shape))
             self.batch_blocks = _roundup(batch_blocks, ndev)
+        if tail_mode not in ("auto", "device", "host"):
+            raise ValueError(f"tail_mode {tail_mode!r}")
+        self.tail_mode = tail_mode
         self.parameter: Optional[EncodeParameter] = None
         self.preset = None
         self.codebook = None
         self._analyze_cache = {}
+        self._exact_tail = None
 
     def set_encode_parameter(self, parameter: EncodeParameter) -> None:
         parameter.validate_against(self.config)
@@ -111,6 +125,7 @@ class TpuEncoder:
         self.preset = PRESETS[parameter.preset]
         self.codebook = get_codebook(self.preset.coef_freq_table)
         self._analyze_cache = {}
+        self._exact_tail = None
 
     # -- the jitted per-batch analysis -------------------------------------
 
@@ -445,6 +460,9 @@ class TpuEncoder:
                     # on such tails): frame raw/silent on the host
                     yield self._frame_short_block(tail_sig, tail)
                     return
+                if self._use_host_tail(tail, 1):
+                    yield self._encode_tail_host(tail_sig, tail)
+                    return
                 fn, num_analyze = self._analyze_fn(tail)
                 width = max(tail, num_analyze)
                 tail_block = np.zeros((1, p.num_channels, width),
@@ -485,6 +503,33 @@ class TpuEncoder:
             pending.append(self._dispatch_batch(chunk, n, real))
         while pending:
             yield pending.popleft()
+
+    AUTO_TAIL_DEVICE_THRESHOLD = 8
+
+    def _use_host_tail(self, n: int, count: int) -> bool:
+        """Whether `count` tail blocks of length n should take the bit-exact
+        host encoder instead of compiling a device pipeline for this length
+        (see tail_mode in __init__)."""
+        if self.tail_mode == "host":
+            return True
+        if self.tail_mode == "device":
+            return False
+        if n in self._analyze_cache:
+            return False
+        return count < self.AUTO_TAIL_DEVICE_THRESHOLD
+
+    def _encode_tail_host(self, block_sig: np.ndarray, n: int) -> bytes:
+        """Frame one partial block via the byte-exact host encoder (same
+        wire format, reference-identical coefficient selection)."""
+        if self._exact_tail is None:
+            from ..exact.encoder import ExactEncoder
+
+            enc = ExactEncoder(self.config)
+            enc.set_encode_parameter(self.parameter)
+            self._exact_tail = enc
+        nch = self.parameter.num_channels
+        return self._exact_tail.encode_block(
+            [block_sig[c, :n] for c in range(nch)], n)
 
     def _frame_short_block(self, block_sig: np.ndarray, n: int) -> bytes:
         """Host-framed raw/silent block for lengths with no admissible unit
@@ -553,6 +598,8 @@ class TpuEncoder:
             block[0, c] = np.asarray(channels[c][:n], dtype=np.int32)
         if not compress_viable(self.preset, p.num_samples_per_block, n):
             return self._frame_short_block(block[0], n)
+        if n < p.num_samples_per_block and self._use_host_tail(n, 1):
+            return self._encode_tail_host(block[0], n)
         return self._encode_batch(block, n)
 
     def encode_many(self, tracks: Sequence[Sequence[np.ndarray]],
@@ -560,7 +607,13 @@ class TpuEncoder:
         """Encode a corpus: full blocks from ALL tracks are batched together
         (the TPU payoff — thousands of independent blocks per dispatch),
         tails are grouped by length. Returns one .lnn byte string per
-        track."""
+        track.
+
+        Note: with tail_mode="auto", a group of >= AUTO_TAIL_DEVICE_THRESHOLD
+        same-length tails compiles the device pipeline (amortized across the
+        group) while encode_whole on one such track uses the host encoder —
+        both lossless, but bytes may differ between the two APIs; pass an
+        explicit tail_mode for byte-stable behavior across them."""
         p = self.parameter
         spb = p.num_samples_per_block
         nch = p.num_channels
@@ -611,6 +664,11 @@ class TpuEncoder:
             if not compress_viable(self.preset, spb, tail_len):
                 for ti, b, data in members:
                     per_track_blocks[ti][b] = self._frame_short_block(
+                        data, tail_len)
+                continue
+            if self._use_host_tail(tail_len, len(members)):
+                for ti, b, data in members:
+                    per_track_blocks[ti][b] = self._encode_tail_host(
                         data, tail_len)
                 continue
             batch = np.stack([m[2] for m in members])

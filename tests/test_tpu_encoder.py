@@ -236,3 +236,50 @@ sys.stdout.buffer.write(data)
                        capture_output=True)
     assert r.returncode == 0, r.stderr.decode()[-800:]
     assert r.stdout == native_bytes
+
+
+def test_tail_mode_host_device_auto():
+    """Tail blocks: "auto" uses the bit-exact host encoder for one-off
+    tails (each distinct length otherwise compiles its own device
+    pipeline), "device" forces compilation; both are lossless and
+    "auto" == "host" bytes for a single-tail file."""
+    n, spb = 2560 + 777, 2560
+    samples = WAVEFORMS["gauss"](n, 2, 16)
+
+    def enc_with(tail_mode):
+        enc = TpuEncoder(tail_mode=tail_mode)
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=2, bits_per_sample=16, sampling_rate=44100,
+            num_samples_per_block=spb, preset=0,
+            ch_process_method=CH_PROCESS_MS))
+        return enc, enc.encode_whole([samples[0], samples[1]], n)
+
+    enc_auto, auto_bytes = enc_with("auto")
+    assert 777 not in enc_auto._analyze_cache  # no device compile for tail
+    _, host_bytes = enc_with("host")
+    assert auto_bytes == host_bytes
+    enc_dev, dev_bytes = enc_with("device")
+    assert 777 in enc_dev._analyze_cache
+    for data in (auto_bytes, dev_bytes):
+        decoded = Decoder().decode_whole(data)
+        assert all(np.array_equal(decoded[c], samples[c]) for c in range(2))
+
+
+def test_tail_mode_auto_batches_large_corpus_on_device():
+    """encode_many with >= AUTO_TAIL_DEVICE_THRESHOLD same-length tails
+    amortizes one device compile instead of host-encoding each."""
+    spb = 2560
+    ntracks = TpuEncoder.AUTO_TAIL_DEVICE_THRESHOLD
+    tracks = [WAVEFORMS["gauss"](spb + 700, 2, 16, seed=i)
+              for i in range(ntracks)]
+    enc = TpuEncoder(batch_blocks=4)
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=spb, preset=0,
+        ch_process_method=CH_PROCESS_MS))
+    outs = enc.encode_many([list(t) for t in tracks],
+                           [t.shape[1] for t in tracks])
+    assert 700 in enc._analyze_cache  # tail went through the device path
+    for data, t in zip(outs, tracks):
+        decoded = Decoder().decode_whole(data)
+        assert all(np.array_equal(decoded[c], t[c]) for c in range(2))
