@@ -84,6 +84,19 @@ struct BitReader {
     bool error = false;
 
     inline void fill() {
+        if (pos + 8 <= size) {
+            // bulk top-up: one unaligned big-endian load instead of up to
+            // seven byte appends (the Rice decode loop refills constantly)
+            uint64_t w;
+            std::memcpy(&w, buf + pos, 8);
+            w = __builtin_bswap64(w);
+            int take = (63 - nbits) >> 3;  // bytes, keeps nbits <= 63
+            if (take == 0) return;         // guards the shift below
+            acc = (acc << (take * 8)) | (w >> (64 - take * 8));
+            nbits += take * 8;
+            pos += take;
+            return;
+        }
         while (nbits <= 56 && pos < size) {
             acc = (acc << 8) | buf[pos++];
             nbits += 8;
@@ -244,15 +257,21 @@ extern "C" {
 
 namespace {
 struct Crc16Table {
-    uint16_t t[256];
+    // slicing-by-8: t[0] is the classic reflected table, t[k][b] advances
+    // byte b by k additional zero bytes, so 8 input bytes fold per step
+    uint16_t t[8][256];
     Crc16Table() {
         for (uint32_t b = 0; b < 256; b++) {
             uint16_t crc = static_cast<uint16_t>(b);
             for (int i = 0; i < 8; i++)
                 crc = (crc & 1) ? static_cast<uint16_t>((crc >> 1) ^ 0xA001)
                                 : static_cast<uint16_t>(crc >> 1);
-            t[b] = crc;
+            t[0][b] = crc;
         }
+        for (int k = 1; k < 8; k++)
+            for (uint32_t b = 0; b < 256; b++)
+                t[k][b] = static_cast<uint16_t>(
+                    (t[k - 1][b] >> 8) ^ t[0][t[k - 1][b] & 0xFF]);
     }
 };
 }  // namespace
@@ -261,9 +280,21 @@ uint16_t linne_crc16(const uint8_t* data, uint64_t size) {
     // C++11 magic-static init: thread-safe for the decode worker pool
     static const Crc16Table table;
     uint16_t crc = 0;
+    while (size >= 8) {
+        uint64_t w;
+        std::memcpy(&w, data, 8);
+        w ^= crc;  // reflected CRC: fold into the low-order input bytes
+        crc = static_cast<uint16_t>(
+            table.t[7][w & 0xFF] ^ table.t[6][(w >> 8) & 0xFF] ^
+            table.t[5][(w >> 16) & 0xFF] ^ table.t[4][(w >> 24) & 0xFF] ^
+            table.t[3][(w >> 32) & 0xFF] ^ table.t[2][(w >> 40) & 0xFF] ^
+            table.t[1][(w >> 48) & 0xFF] ^ table.t[0][(w >> 56) & 0xFF]);
+        data += 8;
+        size -= 8;
+    }
     for (uint64_t i = 0; i < size; i++)
         crc = static_cast<uint16_t>(
-            (crc >> 8) ^ table.t[(crc ^ data[i]) & 0xFF]);
+            (crc >> 8) ^ table.t[0][(crc ^ data[i]) & 0xFF]);
     return crc;
 }
 
