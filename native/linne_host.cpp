@@ -37,6 +37,18 @@ struct BitWriter {
     bool overflow = false;
 
     inline void commit() {
+        if (nbits >= 8 && pos + 8 <= cap) {
+            // bulk store: left-align the pending bits and write all whole
+            // bytes in one 8-byte store (the extra trailing byte is
+            // overwritten by the next commit or by flush_byte_align)
+            int nbytes = nbits >> 3;
+            uint64_t w = __builtin_bswap64(acc << (64 - nbits));
+            std::memcpy(buf + pos, &w, 8);
+            pos += nbytes;
+            nbits -= nbytes * 8;
+            acc &= (nbits ? ((1ULL << nbits) - 1) : 0ULL);
+            return;
+        }
         while (nbits >= 8) {
             if (pos >= cap) { overflow = true; return; }
             nbits -= 8;
