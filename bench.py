@@ -85,9 +85,10 @@ def main() -> None:
     # The tunnel's RPC latency/bandwidth swings by up to 5x across minutes
     # (measured A/B on identical code): take the min, pausing between
     # clusters so one bad burst can't cover every sample, and stop early
-    # once the fastest runs agree.
+    # once the fastest runs agree. While the spread stays wide (a bad
+    # window), keep sampling with longer pauses to reach a better one.
     times = []
-    while len(times) < 24:
+    while len(times) < 32:
         t0 = time.perf_counter()
         data = enc.encode_whole([signal[0], signal[1]], n)
         times.append(time.perf_counter() - t0)
@@ -96,7 +97,8 @@ def main() -> None:
             if close >= 3:
                 break
         if len(times) % 4 == 0:
-            time.sleep(3)
+            spread = max(times[-4:]) / min(times)
+            time.sleep(10 if spread > 1.5 else 3)
     best = min(times)
     audio_seconds = n / rate
     realtime_x = audio_seconds / best
