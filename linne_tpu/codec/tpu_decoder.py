@@ -2,10 +2,15 @@
 
 The host (native library) does the serial entropy decode of every block; the
 reconstruction IIR cascade — the decode hot loop — then runs as batched
-device scans over ALL (block, channel, unit) segments at once, grouped by
-unit count per layer (each group is one uniform [rows, ns] scan, see
-linne_tpu.ops.synthesis). De-emphasis and the MS inverse are short integer
-passes handled by the native library / numpy.
+device scans over ALL (stream, block, channel, unit) segments at once,
+grouped by unit count per layer (each group is one uniform [rows, ns] scan,
+see linne_tpu.ops.synthesis). De-emphasis and the MS inverse are short
+integer passes handled by the native library / numpy.
+
+The scan's cost is per TIME STEP (latency-bound on TPU), nearly independent
+of the lane count, so `decode_many` pools the rows of a whole corpus into
+the same launches: device-side throughput scales close to linearly with the
+number of pooled streams until the VPU saturates.
 
 For single-block latency (the player path) use codec.streaming /
 codec.decoder instead; this path optimizes whole-file and corpus decode.
@@ -14,7 +19,7 @@ codec.decoder instead; this path optimizes whole-file and corpus decode.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -55,7 +60,11 @@ class TpuDecoder:
     def __init__(self, config: Optional[DecoderConfig] = None):
         self.config = config or DecoderConfig()
 
-    def decode_whole(self, data: bytes) -> List[np.ndarray]:
+    # -- host entropy stage --------------------------------------------------
+
+    def _parse_stream(self, data: bytes):
+        """Entropy-decode every block of one stream on the host. Returns
+        (header, orders, blocks) with blocks = [(start, n, kind, payload)]."""
         header = LinneHeader.unpack(data)
         preset = PRESETS[header.preset]
         cb = get_codebook(preset.coef_freq_table)
@@ -63,7 +72,6 @@ class TpuDecoder:
         nch = header.num_channels
         bps = header.bits_per_sample
 
-        # 1) host entropy decode of every block
         blocks = []  # (start_sample, n, kind, payload arrays)
         offset = HEADER_SIZE
         progress = 0
@@ -84,59 +92,85 @@ class TpuDecoder:
                 blocks.append((progress, n, "compress", unpacked))
             offset += bh.total_size
             progress += n
+        return header, orders, blocks
 
-        # 2) batched device synthesis: residual planes are uploaded ONCE per
-        #    block-length class, the reversed layer cascade runs entirely on
-        #    device (gather rows of each (units, order) group, one scan
-        #    launch per group, scatter back), and the reconstructed planes
-        #    come back in ONE download — no per-layer host round trips.
-        compress = [(i, b) for i, (_s, _n, kind, b) in enumerate(blocks)
-                    if kind == "compress"]
-        by_idx = dict(compress)
-        planes = {i: b[0] for i, b in compress}  # residuals [nch, n] (mutated)
+    # -- device synthesis stage ----------------------------------------------
+
+    def _synthesize_pooled(self, streams) -> dict:
+        """Run the reversed layer cascade for every compress block of every
+        stream in `streams` = [(si, header, orders, blocks)], with all rows
+        pooled into shared device launches. All streams must share the same
+        preset (orders) and channel count. Returns {(si, block_idx):
+        planes [nch, n]} of reconstructed (pre-de-emphasis) planes."""
+        if not streams:
+            return {}
+        orders = streams[0][2]
+        nch = streams[0][1].num_channels
+
+        compress = []  # (si, block_idx, unpacked)
+        for si, _header, _orders, blocks in streams:
+            for i, (_s, _n, kind, b) in enumerate(blocks):
+                if kind == "compress":
+                    compress.append((si, i, b))
+        by_key = {(si, i): b for si, i, b in compress}
+        planes = {(si, i): b[0] for si, i, b in compress}  # [nch, n], mutated
         by_len = {}
-        for i, _b in compress:
-            by_len.setdefault(planes[i].shape[1], []).append(i)
+        for si, i, _b in compress:
+            by_len.setdefault(planes[(si, i)].shape[1], []).append((si, i))
         for n, members_n in by_len.items():
-            rowmap = {}  # (block, ch) -> row index in the device tensor
+            rowmap = {}  # (si, block, ch) -> row index in the device tensor
             stackrows = []
-            for i in members_n:
+            for si, i in members_n:
                 for ch in range(nch):
-                    rowmap[(i, ch)] = len(stackrows)
-                    stackrows.append(planes[i][ch])
+                    rowmap[(si, i, ch)] = len(stackrows)
+                    stackrows.append(planes[(si, i)][ch])
             R = jnp.asarray(np.stack(stackrows))           # [rows, n]
             for li in range(len(orders) - 1, -1, -1):
                 base_off = int(orders[:li].sum())
                 groups = {}
-                for i in members_n:
-                    log2u = by_idx[i][2]
+                for si, i in members_n:
+                    log2u = by_key[(si, i)][2]
                     for ch in range(nch):
                         u = 1 << int(log2u[ch, li])
                         npu = int(orders[li]) // u
                         ns = n // u
                         if ns <= npu:
                             continue
-                        groups.setdefault((u, ns, npu), []).append((i, ch))
+                        groups.setdefault((u, ns, npu), []).append((si, i, ch))
                 for (u, ns, npu), members in groups.items():
                     crows = []
                     rsrows = []
                     idx = []
-                    for i, ch in members:
-                        _r, coefs, _l2, rshifts, _pp, _pc, _c = by_idx[i]
-                        idx.append(rowmap[(i, ch)])
+                    for si, i, ch in members:
+                        _r, coefs, _l2, rshifts, _pp, _pc, _c = by_key[(si, i)]
+                        idx.append(rowmap[(si, i, ch)])
                         crows.append(
                             coefs[ch, base_off : base_off + orders[li]]
                             .reshape(u, npu))
                         rsrows.append(np.full(u, rshifts[ch, li], np.int32))
-                    step = _group_step(u, ns, npu, len(members))
+                    # pad members to the next power of two: bounds the jit
+                    # specializations per (u, ns, npu) to log2(rows) instead
+                    # of one per distinct corpus composition (duplicate rows
+                    # re-synthesize the same values — scatter is idempotent)
+                    m = 1 << (len(members) - 1).bit_length()
+                    while len(idx) < m:
+                        idx.append(idx[-1])
+                        crows.append(crows[-1])
+                        rsrows.append(rsrows[-1])
+                    step = _group_step(u, ns, npu, m)
                     R = step(R, jnp.asarray(np.asarray(idx, np.int32)),
                              jnp.asarray(np.concatenate(crows, axis=0)),
                              jnp.asarray(np.concatenate(rsrows, axis=0)))
             host_R = np.asarray(R)                          # ONE download
-            for (i, ch), row in rowmap.items():
-                planes[i][ch] = host_R[row]
+            for (si, i, ch), row in rowmap.items():
+                planes[(si, i)][ch] = host_R[row]
+        return planes
 
-        # 3) de-emphasis + channel recorrelation on host
+    # -- host finishing stage ------------------------------------------------
+
+    @staticmethod
+    def _assemble(header, blocks, planes, si) -> List[np.ndarray]:
+        nch = header.num_channels
         out = [np.zeros(header.num_samples, dtype=np.int32)
                for _ in range(nch)]
         for idx, (start, n, kind, b) in enumerate(blocks):
@@ -147,7 +181,7 @@ class TpuDecoder:
                     out[ch][start : start + n] = b[ch]
                 continue
             _res, _coefs, _l2, _rs, pprev, pcoef, _c = b
-            plane = planes[idx]
+            plane = planes[(si, idx)]
             for ch in range(nch):
                 native.deemphasis(plane[ch], pprev[ch], pcoef[ch])
             if header.ch_process_method == CH_PROCESS_MS:
@@ -157,5 +191,30 @@ class TpuDecoder:
                 s += m
             for ch in range(nch):
                 out[ch][start : start + n] = plane[ch]
-        self.header = header
         return out
+
+    # -- public API ----------------------------------------------------------
+
+    def decode_many(self, datas: Sequence[bytes]) -> List[List[np.ndarray]]:
+        """Decode a corpus of .lnn streams with the reconstruction rows of
+        ALL streams pooled into shared device launches (grouped by preset +
+        channel count — the scan step count stays the same, the lanes
+        multiply, so device throughput scales ~linearly with the corpus
+        size). Returns one channel list per stream."""
+        parsed = [self._parse_stream(d) for d in datas]
+        classes = {}
+        for si, (header, orders, blocks) in enumerate(parsed):
+            key = (header.preset, header.num_channels)
+            classes.setdefault(key, []).append(si)
+        results: List[Optional[List[np.ndarray]]] = [None] * len(datas)
+        for sis in classes.values():
+            streams = [(si,) + parsed[si] for si in sis]
+            planes = self._synthesize_pooled(streams)
+            for si in sis:
+                header, _orders, blocks = parsed[si]
+                results[si] = self._assemble(header, blocks, planes, si)
+        self.header = parsed[-1][0] if parsed else None
+        return results
+
+    def decode_whole(self, data: bytes) -> List[np.ndarray]:
+        return self.decode_many([data])[0]

@@ -168,3 +168,37 @@ def test_tpu_batch_decoder_mono_tail():
     data = enc.encode_whole([sig[0]], n)
     out = TpuDecoder().decode_whole(data)
     assert np.array_equal(out[0], sig[0])
+
+
+def test_tpu_decoder_decode_many_mixed_corpus():
+    """decode_many pools reconstruction rows of a whole corpus into shared
+    device launches, grouped by (preset, channels); a mixed corpus — two
+    presets, stereo + mono, tails, a silent track — must decode losslessly
+    with per-stream results in order."""
+    from conftest import WAVEFORMS
+    from linne_tpu.codec.encoder import TpuEncoder
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.constants import CH_PROCESS_NONE
+
+    specs = [
+        ("gauss", 2, 2, 2560 * 2 + 500),
+        ("chirp", 2, 2, 2560),
+        ("sine", 0, 1, 2560 * 2),
+        ("silence", 2, 2, 2560 + 100),
+        ("gauss", 0, 2, 2560 * 3),
+    ]
+    corpus = []
+    signals = []
+    for wf, preset, ch, n in specs:
+        sig = WAVEFORMS[wf](n, ch, 16)
+        enc = TpuEncoder(batch_blocks=4)
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=ch, bits_per_sample=16, sampling_rate=44100,
+            num_samples_per_block=2560, preset=preset,
+            ch_process_method=CH_PROCESS_MS if ch >= 2 else CH_PROCESS_NONE))
+        corpus.append(enc.encode_whole([sig[c] for c in range(ch)], n))
+        signals.append(sig)
+    outs = TpuDecoder().decode_many(corpus)
+    for (wf, preset, ch, n), sig, out in zip(specs, signals, outs):
+        for c in range(ch):
+            assert np.array_equal(out[c], sig[c]), (wf, preset, ch, c)
