@@ -38,6 +38,10 @@ _CASES = [
     ("gauss", 8192, 2, 16, 6),
     ("const", 4096, 2, 16, 0),
     ("nyquist", 4096, 2, 16, 0),
+    # multichannel: MS applies to the first stereo pair only
+    # (linne_utility.c:120-132); channels 2+ code independently
+    ("gauss", 4096, 4, 16, 2),
+    ("flipsine", 8192, 8, 16, 0),
 ]
 
 
