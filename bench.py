@@ -157,6 +157,21 @@ def main() -> None:
                 "decode_mode7_vs_c_samebox": round(py_x / c_x, 2),
             }
 
+    # -- corpus batching (the TPU payoff): cross-track block batching via
+    #    encode_many, 4 x ~30s tracks
+    nt = spb * 128
+    tracks = [np.roll(signal[:, :nt], k * 11, axis=1) for k in range(4)]
+    outs = enc.encode_many([list(t) for t in tracks], [nt] * 4)  # warm
+    for o, t in zip(outs, tracks):
+        d = Decoder().decode_whole(o)
+        assert all(np.array_equal(d[c], t[c]) for c in range(2))
+    cts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        enc.encode_many([list(t) for t in tracks], [nt] * 4)
+        cts.append(time.perf_counter() - t0)
+    corpus_x = (4 * nt / rate) / min(cts)
+
     msamp = 2 * n / 1e6  # stereo samples in the track
     print(json.dumps({
         "metric": "mode7_encode_realtime_x",
@@ -169,6 +184,7 @@ def main() -> None:
         "decode_mode7_realtime_x": round(dec7_x, 1),
         "decode_mode7_vs_c": round(dec7_x / BASELINE_DECODE_X[7], 2),
         "decode_mode7_msamples_s": round(msamp * dec7_x / audio_seconds, 1),
+        "corpus_encode_realtime_x": round(corpus_x, 1),
         **samebox,
     }))
     print(
