@@ -64,13 +64,8 @@ def _res_pack_width(bps: int) -> int:
     return 14 if bps <= 16 else 24
 
 
-def _pack_geometry(width: int):
-    """(samples per group, words per group) for a W-bit plane: groups of g
-    samples pack exactly into g*W/32 int32 words."""
-    import math
-
-    g = 32 // math.gcd(width, 32)
-    return g, width * g // 32
+# shared with the batched decoder's reconstruction download
+from ..ops.bitpack import pack_geometry as _pack_geometry  # noqa: E402
 
 
 def default_analysis_dtype():
@@ -297,18 +292,9 @@ class TpuEncoder:
             # single-pull packing: the W-bit residual plane rides inside the
             # int32 side tensor so a batch costs ONE host round trip (plus
             # rare overflow fallback rows pulled from the int32 tensor)
-            g, wpg = _pack_geometry(W)
-            pad = (-x.shape[-1]) % g
-            xr = jnp.pad(x, [(0, 0), (0, 0), (0, pad)]) if pad else x
-            u = (xr & ((1 << W) - 1)).astype(jnp.uint32).reshape(B, C, -1, g)
-            acc = [jnp.zeros(u.shape[:-1], jnp.uint32) for _ in range(wpg)]
-            for j in range(g):
-                k, off = divmod(j * W, 32)
-                acc[k] = acc[k] | (u[..., j] << off)
-                if off + W > 32:
-                    acc[k + 1] = acc[k + 1] | (u[..., j] >> (32 - off))
-            res_words = jax.lax.bitcast_convert_type(
-                jnp.stack(acc, axis=-1).reshape(B, C, -1), jnp.int32)
+            from ..ops.bitpack import pack_plane_words
+
+            res_words = pack_plane_words(x, W)
             packed = jnp.concatenate([side, res_words], axis=-1)
             return dict(packed=packed, residual=x)
 

@@ -202,3 +202,15 @@ def test_tpu_decoder_decode_many_mixed_corpus():
     for (wf, preset, ch, n), sig, out in zip(specs, signals, outs):
         for c in range(ch):
             assert np.array_equal(out[c], sig[c]), (wf, preset, ch, c)
+
+
+def test_tpu_decoder_wide_row_fallback(monkeypatch, encoded):
+    """Force every reconstruction row past the packed download width: the
+    flag column + int32 re-fetch path must reproduce the exact samples."""
+    import linne_tpu.codec.tpu_decoder as td
+
+    samples, data = encoded
+    monkeypatch.setattr(td, "_download_width", lambda bps: 6)
+    out = TpuDecoder().decode_whole(data)
+    for c in range(2):
+        assert np.array_equal(out[c], samples[c])
