@@ -180,9 +180,12 @@ def main() -> None:
         "vs_baseline": round(realtime_x / BASELINE_REALTIME_X, 2),
         "encode_msamples_s": round(msamp / best, 2),
         "decode_mode0_realtime_x": round(dec0_x, 1),
-        "decode_mode0_vs_c": round(dec0_x / BASELINE_DECODE_X[0], 2),
+        # *_vs_c_ref_hw: against BASELINE.md's numbers from the upstream
+        # author's (undocumented, faster) machine; the same-box C CLI
+        # comparison is decode_mode7_vs_c_samebox below
+        "decode_mode0_vs_c_ref_hw": round(dec0_x / BASELINE_DECODE_X[0], 2),
         "decode_mode7_realtime_x": round(dec7_x, 1),
-        "decode_mode7_vs_c": round(dec7_x / BASELINE_DECODE_X[7], 2),
+        "decode_mode7_vs_c_ref_hw": round(dec7_x / BASELINE_DECODE_X[7], 2),
         "decode_mode7_msamples_s": round(msamp * dec7_x / audio_seconds, 1),
         "corpus_encode_realtime_x": round(corpus_x, 1),
         **samebox,
