@@ -176,7 +176,7 @@ def test_native_unpack_bits_matches_numpy():
     if not native.available():
         pytest.skip("native runtime unavailable")
     rng = np.random.default_rng(7)
-    for width in (14, 24):
+    for width in (14, 18, 24, 26):  # encoder planes + decoder downloads
         g, wpg = _pack_geometry(width)
         for n in (10240, 512, g, 1, 777):
             wpr = ((n + g - 1) // g) * wpg
