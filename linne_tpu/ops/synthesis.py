@@ -48,7 +48,9 @@ def _synth_kernel(x_ref, c_ref, rs_ref, out_ref, *, npu, ns, sg):
     rs [1, 1, sg, LANES]."""
     one = jnp.int32(1)
     rshift = rs_ref[0, 0]                 # [sg, LANES]
-    half = one << (rshift - one)
+    # corrupt streams may carry rshift=0 (4-bit field); 1 << -1 is undefined
+    # — mirror the native runtime's guard (linne_host.cpp synth_unit_plain)
+    half = jnp.where(rshift >= one, one << (rshift - one), jnp.int32(0))
     out_ref[:] = x_ref[:]
     c_rows = [c_ref[0, j] for j in range(npu)]  # each [sg, LANES]
 
@@ -179,7 +181,9 @@ def synthesize_rows_xla(x: jnp.ndarray, coefs: jnp.ndarray,
     npu = coefs.shape[-1]
     if ns <= npu:
         return x
-    half = (jnp.int32(1) << (rshift - 1))  # [rows]
+    # rshift=0 guard as in the Pallas kernel / native runtime
+    half = jnp.where(rshift >= 1, jnp.int32(1) << (rshift - 1),
+                     jnp.int32(0))  # [rows]
 
     # carry: window of the last npu outputs [rows, npu]
     win0 = x[:, :npu]

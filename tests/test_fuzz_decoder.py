@@ -71,3 +71,38 @@ def test_crc_catches_corruption(stream):
         except (CorruptionError, FormatError, RuntimeError):
             caught += 1
     assert caught == 30
+
+
+def test_differential_native_vs_tpu_decoder(stream):
+    """Differential fuzz: on mutated streams decoded WITHOUT CRC checking,
+    the native whole-stream decoder and the batched device decoder must
+    agree — both raise, or both produce identical samples (the device
+    synthesis mirrors the native int32/rshift semantics, including the
+    corrupt-stream rshift=0 guard)."""
+    from linne_tpu.codec.tpu_decoder import TpuDecoder
+
+    rng = np.random.default_rng(7)
+    cfg = DecoderConfig(check_crc=False)
+    checked = 0
+    for _ in range(40):
+        mutated = bytearray(stream)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(30, len(mutated)))
+            mutated[pos] = int(rng.integers(0, 256))
+        data = bytes(mutated)
+        try:
+            a = Decoder(cfg).decode_whole(data)
+        except Exception:
+            a = None
+        try:
+            b = TpuDecoder(cfg).decode_whole(data)
+        except Exception:
+            b = None
+        if a is None or b is None:
+            # both paths must agree that the stream is undecodable
+            assert a is None and b is None
+            continue
+        checked += 1
+        for c in range(2):
+            assert np.array_equal(a[c], b[c])
+    assert checked > 0  # some mutations must decode (garbage) identically
