@@ -106,3 +106,24 @@ def test_differential_native_vs_tpu_decoder(stream):
         for c in range(2):
             assert np.array_equal(a[c], b[c])
     assert checked > 0  # some mutations must decode (garbage) identically
+
+
+def test_streaming_decoder_fuzz(stream):
+    """The pull-based streaming decoder (per-block entry path) must raise
+    clean errors or return garbage — never crash — on mutated streams."""
+    from linne_tpu.codec.streaming import StreamingDecoder
+
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        mutated = bytearray(stream)
+        for _ in range(int(rng.integers(1, 6))):
+            pos = int(rng.integers(0, len(mutated)))
+            mutated[pos] = int(rng.integers(0, 256))
+        try:
+            sd = StreamingDecoder(bytes(mutated), DecoderConfig(
+                check_crc=False))
+            while not sd.exhausted:
+                if sd.read(777).shape[1] == 0:
+                    break
+        except Exception:
+            pass
