@@ -757,8 +757,7 @@ class TpuEncoder:
         k2s = self._unpack_bytes(
             side[..., off_k2w:side_k], max_parts, signed=False)
 
-        chunks = []
-        for b in range(real):
+        def pack_one(b: int) -> bytes:
             if raw[b]:
                 payload = write_raw_payload(
                     [blocks[b, ch, :n] for ch in range(p.num_channels)],
@@ -772,5 +771,16 @@ class TpuEncoder:
                     pprev[b], pcoef[b], log2u[b], rshift[b], coefs[b],
                     porder[b], k2s[b], res[b, :, :n], n)
                 btype = BLOCK_TYPE_COMPRESS
-            chunks.append(frame_block(btype, n, payload))
-        return chunks
+            return frame_block(btype, n, payload)
+
+        # blocks pack independently; the native payload packer runs without
+        # the GIL, so thread on multicore hosts (serial on one core)
+        import os
+
+        ncpu = os.cpu_count() or 1
+        if real > 1 and ncpu > 1 and native.available():
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(ncpu, 8)) as ex:
+                return list(ex.map(pack_one, range(real)))
+        return [pack_one(b) for b in range(real)]

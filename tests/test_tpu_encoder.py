@@ -283,3 +283,28 @@ def test_tail_mode_auto_batches_large_corpus_on_device():
     for data, t in zip(outs, tracks):
         decoded = Decoder().decode_whole(data)
         assert all(np.array_equal(decoded[c], t[c]) for c in range(2))
+
+
+def test_threaded_pack_matches_serial(monkeypatch):
+    """The drain packs blocks in a thread pool on multicore hosts (this CI
+    box has one core, so force the branch): bytes must match the serial
+    path exactly."""
+    import os
+
+    n = 2560 * 4 + 600
+    sig = WAVEFORMS["gauss"](n, 2, 16)
+
+    def encode():
+        enc = TpuEncoder(batch_blocks=4)
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=2, bits_per_sample=16, sampling_rate=44100,
+            num_samples_per_block=2560, preset=1,
+            ch_process_method=CH_PROCESS_MS))
+        return enc.encode_whole([sig[0], sig[1]], n)
+
+    serial = encode()
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    threaded = encode()
+    assert serial == threaded
+    decoded = Decoder().decode_whole(threaded)
+    assert all(np.array_equal(decoded[c], sig[c]) for c in range(2))
