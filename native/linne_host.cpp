@@ -189,6 +189,28 @@ inline void rice_put(BitWriter& w, uint32_t k1, uint32_t k2, uint32_t uval) {
 }
 
 inline uint32_t rice_get(BitReader& r, uint32_t k1, uint32_t k2) {
+    // fast path: resolve the whole symbol (q zeros + terminator + k payload
+    // bits) from one left-aligned 64-bit window — one refill check and one
+    // extraction instead of three bit-op calls with their own refills
+    if (r.nbits < 48) r.fill();
+    if (r.nbits > 0) {
+        uint64_t win = r.acc << (64 - r.nbits);
+        if (win != 0) {
+            int q = __builtin_clzll(win);
+            uint32_t k = (q == 0) ? k1 : k2;
+            int need = q + 1 + static_cast<int>(k);
+            if (need <= r.nbits) {
+                r.nbits -= need;
+                uint32_t payload = static_cast<uint32_t>(
+                    (r.acc >> r.nbits) & ((k >= 32) ? ~0u
+                                          : ((1ULL << k) - 1)));
+                r.acc &= (r.nbits ? ((1ULL << r.nbits) - 1) : 0ULL);
+                if (q == 0) return payload;
+                return payload + (1u << k1)
+                    + ((static_cast<uint32_t>(q) - 1) << k2);
+            }
+        }
+    }
     uint32_t quot = r.get_zero_run();
     if (quot == 0) return r.get(static_cast<int>(k1));
     return r.get(static_cast<int>(k2)) + (1u << k1) + ((quot - 1) << k2);
