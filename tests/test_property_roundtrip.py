@@ -37,7 +37,7 @@ def _random_signal(rng, ch, n, bps):
     return np.clip(np.round(out), -amp - 1, amp).astype(np.int32)
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(14))
 def test_random_config_roundtrip(seed):
     rng = np.random.default_rng(1000 + seed)
     ch = int(rng.choice([1, 2, 4]))
