@@ -94,9 +94,10 @@ class TpuEncoder:
         compilation — ~4 minutes cold through the remote-TPU tunnel — while
         the bit-exact host encoder handles one such block in 0.2-2.3 s.
         "host" always uses the host encoder, "device" always compiles,
-        "auto" (default) uses the host for small one-off tails and the
-        device when a compiled function already exists or enough same-length
-        tails are batched (corpus case) to amortize the compile."""
+        "auto" (default) uses the host unless a compiled function for that
+        length already exists. The rule depends only on tail length and
+        cached-compile presence, so encode_whole and encode_many emit the
+        same bytes for the same input."""
         self.config = config or EncoderConfig()
         self.config.validate()
         self.dtype = analysis_dtype or default_analysis_dtype()
@@ -354,7 +355,8 @@ class TpuEncoder:
         L = self.preset.num_layers
         total_order = sum(self.preset.layer_num_params)
         max_parts = 1 << max_porder_for(n)
-        off_layers = 7
+        # [raw, silent, overflow] flags + pprev/pcoef per pre-emphasis stage
+        off_layers = 3 + 2 * NUM_PREEMPH_FILTERS
         off_porder = off_layers + 2 * L
         off_coefw = off_porder + 1
         off_k2w = off_coefw + (total_order + 3) // 4
@@ -446,7 +448,7 @@ class TpuEncoder:
                     # on such tails): frame raw/silent on the host
                     yield self._frame_short_block(tail_sig, tail)
                     return
-                if self._use_host_tail(tail, 1):
+                if self._use_host_tail(tail):
                     yield self._encode_tail_host(tail_sig, tail)
                     return
                 fn, num_analyze = self._analyze_fn(tail)
@@ -490,19 +492,17 @@ class TpuEncoder:
         while pending:
             yield pending.popleft()
 
-    AUTO_TAIL_DEVICE_THRESHOLD = 8
-
-    def _use_host_tail(self, n: int, count: int) -> bool:
-        """Whether `count` tail blocks of length n should take the bit-exact
-        host encoder instead of compiling a device pipeline for this length
-        (see tail_mode in __init__)."""
+    def _use_host_tail(self, n: int) -> bool:
+        """Whether tail blocks of length n should take the bit-exact host
+        encoder instead of compiling a device pipeline for this length (see
+        tail_mode in __init__). Depends only on tail length + cached-compile
+        presence so encode_whole and encode_many pick the same path for the
+        same input (same bytes across the two public entry points)."""
         if self.tail_mode == "host":
             return True
         if self.tail_mode == "device":
             return False
-        if n in self._analyze_cache:
-            return False
-        return count < self.AUTO_TAIL_DEVICE_THRESHOLD
+        return n not in self._analyze_cache
 
     def _encode_tail_host(self, block_sig: np.ndarray, n: int) -> bytes:
         """Frame one partial block via the byte-exact host encoder (same
@@ -584,7 +584,7 @@ class TpuEncoder:
             block[0, c] = np.asarray(channels[c][:n], dtype=np.int32)
         if not compress_viable(self.preset, p.num_samples_per_block, n):
             return self._frame_short_block(block[0], n)
-        if n < p.num_samples_per_block and self._use_host_tail(n, 1):
+        if n < p.num_samples_per_block and self._use_host_tail(n):
             return self._encode_tail_host(block[0], n)
         return self._encode_batch(block, n)
 
@@ -593,13 +593,9 @@ class TpuEncoder:
         """Encode a corpus: full blocks from ALL tracks are batched together
         (the TPU payoff — thousands of independent blocks per dispatch),
         tails are grouped by length. Returns one .lnn byte string per
-        track.
-
-        Note: with tail_mode="auto", a group of >= AUTO_TAIL_DEVICE_THRESHOLD
-        same-length tails compiles the device pipeline (amortized across the
-        group) while encode_whole on one such track uses the host encoder —
-        both lossless, but bytes may differ between the two APIs; pass an
-        explicit tail_mode for byte-stable behavior across them."""
+        track. Tail handling follows the same rule as encode_whole
+        (_use_host_tail), so the two APIs produce identical bytes for the
+        same input."""
         p = self.parameter
         spb = p.num_samples_per_block
         nch = p.num_channels
@@ -652,7 +648,7 @@ class TpuEncoder:
                     per_track_blocks[ti][b] = self._frame_short_block(
                         data, tail_len)
                 continue
-            if self._use_host_tail(tail_len, len(members)):
+            if self._use_host_tail(tail_len):
                 for ti, b, data in members:
                     per_track_blocks[ti][b] = self._encode_tail_host(
                         data, tail_len)
@@ -716,8 +712,10 @@ class TpuEncoder:
         return (res ^ sign) - sign
 
     def _drain_batch(self, out_dev, blocks: np.ndarray, n: int,
-                     real: int) -> bytes:
-        """ONE host pull per batch (side info + byte-packed coef/k2 planes +
+                     real: int) -> List[bytes]:
+        """Drain one dispatched batch into per-block framed payloads.
+
+        ONE host pull per batch (side info + byte-packed coef/k2 planes +
         W-bit-packed residuals); int32 residual rows are fetched only for
         the rare blocks whose residual exceeds W bits."""
         p = self.parameter
@@ -747,8 +745,8 @@ class TpuEncoder:
             for i, b in enumerate(ov):
                 res[b, :, :n] = rows[i][:, :n]
 
-        pprev = side[..., 3:5]
-        pcoef = side[..., 5:7]
+        pprev = side[..., 3 : 3 + NUM_PREEMPH_FILTERS]
+        pcoef = side[..., 3 + NUM_PREEMPH_FILTERS : 3 + 2 * NUM_PREEMPH_FILTERS]
         log2u = side[..., off_layers : off_layers + 2 * L : 2]
         rshift = side[..., off_layers + 1 : off_layers + 2 * L : 2]
         porder = side[..., off_porder]

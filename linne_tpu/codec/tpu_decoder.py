@@ -263,7 +263,11 @@ class TpuDecoder:
             parsed = [self._parse_stream(d) for d in datas]
         classes = {}
         for si, (header, orders, blocks) in enumerate(parsed):
-            key = (header.preset, header.num_channels)
+            # bits_per_sample is part of the key: the pooled download width
+            # is taken from the class representative, and mixing bps would
+            # make higher-bps rows trip the overflow refetch path (lossless
+            # but defeats the slim transfer)
+            key = (header.preset, header.num_channels, header.bits_per_sample)
             classes.setdefault(key, []).append(si)
         results: List[Optional[List[np.ndarray]]] = [None] * len(datas)
         for sis in classes.values():

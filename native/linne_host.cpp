@@ -24,6 +24,14 @@
 
 #include "linne_host.h"
 
+// The bulk CRC16 fold, the 8-byte bit-writer commit / bit-reader refill, and
+// the unpack fast paths all memcpy words and index bytes via shifts assuming
+// byte 0 is the low-order lane. Guard the assumption so a big-endian embedder
+// gets a compile error instead of silently wrong CRCs/payloads.
+#if defined(__BYTE_ORDER__) && (__BYTE_ORDER__ != __ORDER_LITTLE_ENDIAN__)
+#error "linne_host requires a little-endian host (see word-staging paths)"
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------- bit writer

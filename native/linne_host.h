@@ -95,7 +95,13 @@ void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
                          int32_t num_units);
 
 /* Unpack a W-bit two's-complement sample plane (the slim device->host
- * residual transfer) into int32 samples; rows are independent. */
+ * residual transfer) into int32 samples; rows are independent.
+ *
+ * n must be a multiple of the plane's packing group size g = 32/gcd(width,32)
+ * — the sample count whose bits fill whole words (callers in this repo pass
+ * roundup(n, g)). A sample straddling a word boundary reads the next word,
+ * which is in-bounds only under that alignment. Requires a little-endian
+ * host (compile-time enforced). */
 void linne_unpack_bits(const uint32_t* words, int64_t nrows,
                        int32_t words_per_row, int32_t width, int32_t n,
                        int32_t* out);

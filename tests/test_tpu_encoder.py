@@ -265,11 +265,13 @@ def test_tail_mode_host_device_auto():
         assert all(np.array_equal(decoded[c], samples[c]) for c in range(2))
 
 
-def test_tail_mode_auto_batches_large_corpus_on_device():
-    """encode_many with >= AUTO_TAIL_DEVICE_THRESHOLD same-length tails
-    amortizes one device compile instead of host-encoding each."""
+def test_tail_mode_auto_is_byte_stable_across_apis():
+    """With tail_mode="auto", a same-length tail group large enough that the
+    old count heuristic would have taken the device path must still match
+    per-track encode_whole byte-for-byte: the auto rule depends only on tail
+    length + cached-compile presence (codec/encoder.py:_use_host_tail)."""
     spb = 2560
-    ntracks = TpuEncoder.AUTO_TAIL_DEVICE_THRESHOLD
+    ntracks = 8
     tracks = [WAVEFORMS["gauss"](spb + 700, 2, 16, seed=i)
               for i in range(ntracks)]
     enc = TpuEncoder(batch_blocks=4)
@@ -279,8 +281,9 @@ def test_tail_mode_auto_batches_large_corpus_on_device():
         ch_process_method=CH_PROCESS_MS))
     outs = enc.encode_many([list(t) for t in tracks],
                            [t.shape[1] for t in tracks])
-    assert 700 in enc._analyze_cache  # tail went through the device path
+    assert 700 not in enc._analyze_cache  # auto keeps tails on the host
     for data, t in zip(outs, tracks):
+        assert data == enc.encode_whole(list(t), t.shape[1])
         decoded = Decoder().decode_whole(data)
         assert all(np.array_equal(decoded[c], t[c]) for c in range(2))
 
