@@ -158,6 +158,24 @@ struct BitReader {
     inline int64_t aligned_pos() const {
         return pos - (nbits >> 3);
     }
+
+    // absolute bit offset of the next unread bit (acc always holds the
+    // last nbits consumed-but-unread bits, so this is exact)
+    inline int64_t bit_position() const { return pos * 8 - nbits; }
+
+    // reposition to an absolute bit offset (re-primes the staging register)
+    inline void seek_bit(int64_t bitpos) {
+        pos = bitpos >> 3;
+        int off = static_cast<int>(bitpos & 7);
+        if (off && pos < size) {
+            acc = buf[pos] & ((1u << (8 - off)) - 1);
+            nbits = 8 - off;
+            pos++;
+        } else {
+            acc = 0;
+            nbits = 0;
+        }
+    }
 };
 
 // -------------------------------------------------------------- primitives
@@ -224,6 +242,44 @@ inline uint32_t rice_get(BitReader& r, uint32_t k1, uint32_t k2) {
     return r.get(static_cast<int>(k2)) + (1u << k1) + ((quot - 1) << k2);
 }
 
+// Bulk Rice(k2+1, k2) symbol decode for one partition: tracks an absolute
+// bit position and rebuilds a left-aligned 57+-bit window with ONE unaligned
+// load+bswap per symbol — no staging-register bookkeeping, no refill
+// branches on the hot path (~3x the per-symbol rate of rice_get). Decodes
+// zigzag-mapped residuals straight into out[]; returns the number of symbols
+// done (the caller finishes the remainder — near buffer end or pathological
+// runs — through the generic path). Leaves r positioned after the last
+// decoded symbol.
+inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
+    int64_t bitpos = r.bit_position();
+    const uint8_t* buf = r.buf;
+    const int64_t max_byte = r.size - 8;  // 8-byte loads stay in bounds
+    const uint32_t k1 = k2 + 1;
+    const uint32_t k1pow = 1u << k1;
+    int s = 0;
+    for (; s < nsmpl; s++) {
+        int64_t byte = bitpos >> 3;
+        if (byte > max_byte) break;
+        uint64_t w;
+        std::memcpy(&w, buf + byte, 8);
+        w = __builtin_bswap64(w) << (bitpos & 7);  // >= 57 valid bits
+        int q = __builtin_clzll(w | 1);
+        uint32_t k = q ? k2 : k1;
+        int need = q + 1 + static_cast<int>(k);
+        if (need > 57) break;  // run extends past the window: generic path
+        // ((.. >> (63-k)) >> 1) == >> (64-k) without the k==0 UB
+        uint32_t payload = static_cast<uint32_t>(
+            ((w << (q + 1)) >> (63 - static_cast<int>(k))) >> 1);
+        uint32_t uval = q ? payload + k1pow
+                                + ((static_cast<uint32_t>(q) - 1) << k2)
+                          : payload;
+        out[s] = zigzag_dec(uval);
+        bitpos += need;
+    }
+    r.seek_bit(bitpos);
+    return s;
+}
+
 const int kPreemphShift = 5;
 
 // Core compress-payload unpack with an arbitrary per-channel residual
@@ -281,9 +337,10 @@ int64_t unpack_compress_core(
             if (k2 < 0 || k2 > 30) return -1;
             uint32_t uk1 = static_cast<uint32_t>(k2 + 1);
             uint32_t uk2 = static_cast<uint32_t>(k2);
-            for (int s = 0; s < nsmpl; s++) {
-                res[part * nsmpl + s] =
-                    zigzag_dec(rice_get(r, uk1, uk2));
+            int32_t* pres = res + part * nsmpl;
+            int done = rice_run(r, uk2, nsmpl, pres);
+            for (int s = done; s < nsmpl; s++) {
+                pres[s] = zigzag_dec(rice_get(r, uk1, uk2));
             }
             if (r.error) return -1;
         }
@@ -438,8 +495,7 @@ int64_t linne_unpack_compress_payload(
 // One unit-split IIR layer, in place (wire semantics of
 // linne_lpc_synthesize.c:8-83; implementation is chunk-split, see below).
 
-// Straight recurrence — fastest for tiny orders where the chunked split's
-// bookkeeping dominates.
+// Straight recurrence — correctness oracle and fallback for odd orders.
 static void synth_unit_plain(int32_t* data, int n, const int32_t* coef,
                              int npu, int rshift) {
     // corrupt streams may carry rshift=0 (4-bit field); 1<<-1 is UB
@@ -451,34 +507,63 @@ static void synth_unit_plain(int32_t* data, int n, const int32_t* coef,
     }
 }
 
-// Chunked recurrence, requires npu >= K: for each K-output chunk, the
-// contributions from already-final samples form K independent dot products
-// (vectorizable — the plain loop's read-after-write hazard defeats the
-// autovectorizer), and only the KxK/2 within-chunk triangle stays serial.
-// Bit-exact: int32 addition is associative under -fwrapv.
+// Small-order recurrence with the tap window held in registers: the plain
+// loop's critical chain runs through a store->load forward of the previous
+// output (measured ~5x slower at npu=4); rotating the window in registers
+// leaves just imul+add+sar+sub on the chain.
+template <int NPU>
+static void synth_unit_reg(int32_t* data, int n, const int32_t* coef,
+                           int rshift) {
+    // corrupt streams may carry rshift=0 (4-bit field); 1<<-1 is UB
+    int32_t half = rshift >= 1 ? (1 << (rshift - 1)) : 0;
+    int32_t c[NPU], d[NPU];
+    for (int j = 0; j < NPU; j++) {
+        c[j] = coef[j];
+        d[j] = data[j];
+    }
+    int npred = n - NPU;
+    for (int t = 0; t < npred; t++) {
+        int32_t pred = half;
+        for (int j = 0; j < NPU; j++) pred += c[j] * d[j];
+        int32_t y = data[t + NPU] - (pred >> rshift);
+        data[t + NPU] = y;
+        for (int j = 0; j < NPU - 1; j++) d[j] = d[j + 1];
+        d[NPU - 1] = y;
+    }
+}
+
+// Large-order recurrence, requires npu >= K: each K-output chunk first
+// accumulates FULL-length dots against the stale (pre-chunk) window — a
+// fixed-shape convolution the autovectorizer turns into clean K-lane
+// multiply-adds with no horizontal reductions — then serially corrects each
+// output for the taps that landed on in-chunk outputs, using the in-register
+// deltas. Bit-exact: int32 multiplication distributes over wrapped addition
+// under -fwrapv, so stale-dot + coef*delta == fresh dot mod 2^32.
 template <int K>
-static void synth_unit_chunked(int32_t* data, int n, const int32_t* coef,
-                               int npu, int rshift) {
+static void synth_unit_stale(int32_t* data, int n, const int32_t* coef,
+                             int npu, int rshift) {
     // corrupt streams may carry rshift=0 (4-bit field); 1<<-1 is UB
     int32_t half = rshift >= 1 ? (1 << (rshift - 1)) : 0;
     int npred = n - npu;
     int t = 0;
-    int32_t pre[K];
+    int32_t pre[K], delta[K];
     for (; t + K <= npred; t += K) {
+        for (int m = 0; m < K; m++) pre[m] = 0;
         const int32_t* base = data + t;
-        for (int m = 0; m < K; m++) {
-            int32_t s = 0;
-            const int32_t* dm = base + m;
-            int lim = npu - m;  // > 0 because npu >= K > m
-            for (int j = 0; j < lim; j++) s += coef[j] * dm[j];
-            pre[m] = s;
+        for (int j = 0; j < npu; j++) {
+            int32_t cj = coef[j];
+            const int32_t* dj = base + j;
+            for (int m = 0; m < K; m++) pre[m] += cj * dj[m];
         }
         int32_t* y = data + t + npu;
         for (int m = 0; m < K; m++) {
             int32_t s = pre[m] + half;
-            const int32_t* ctail = coef + npu - m;
-            for (int k = 0; k < m; k++) s += ctail[k] * y[k];
-            y[m] -= s >> rshift;
+            // outputs i<m sit at taps j=npu-m+i (>=0 because m<=K<=npu)
+            const int32_t* ct = coef + npu - m;
+            for (int i = 0; i < m; i++) s += ct[i] * delta[i];
+            int32_t dlt = -(s >> rshift);
+            delta[m] = dlt;
+            y[m] += dlt;
         }
     }
     for (; t < npred; t++) {
@@ -496,12 +581,18 @@ static void synth_layer(int32_t* data, int n, const int32_t* coef, int order,
     for (int u = 0; u < num_units; u++) {
         int32_t* d = data + u * ns;
         const int32_t* c = coef + u * npu;
-        if (npu >= 16)
-            synth_unit_chunked<16>(d, ns, c, npu, rshift);
-        else if (npu >= 8)
-            synth_unit_chunked<8>(d, ns, c, npu, rshift);
-        else
-            synth_unit_plain(d, ns, c, npu, rshift);
+        // valid streams always have pow-2 npu (orders 2..128, pow-2 units);
+        // each shape gets the kernel that measured fastest (bench2, r3)
+        switch (npu) {
+            case 1: synth_unit_reg<1>(d, ns, c, rshift); break;
+            case 2: synth_unit_reg<2>(d, ns, c, rshift); break;
+            case 4: synth_unit_reg<4>(d, ns, c, rshift); break;
+            case 8: synth_unit_reg<8>(d, ns, c, rshift); break;
+            case 16: synth_unit_reg<16>(d, ns, c, rshift); break;
+            default:
+                if (npu >= 32) synth_unit_stale<16>(d, ns, c, npu, rshift);
+                else synth_unit_plain(d, ns, c, npu, rshift);
+        }
     }
 }
 
@@ -528,14 +619,33 @@ static void synthesize_block_core(
                         rshifts[ch * nlayers + l],
                         1 << log2_units[ch * nlayers + l]);
         }
-        // de-emphasis: stage (nstages-1) inverse then ... stage 0 inverse
-        for (int s = nstages - 1; s >= 0; s--) {
-            int32_t coef = preemph_coef[ch * nstages + s];
-            if (coef == 0) continue;
-            int32_t prev = preemph_prev[ch * nstages + s];
-            for (int t = 0; t < n; t++) {
-                prev = d[t] + ((prev * coef) >> kPreemphShift);
-                d[t] = prev;
+        // de-emphasis: stage (nstages-1) inverse then ... stage 0 inverse.
+        // The two-stage case (the format's constant) fuses into one pass:
+        // stage s at time t needs only stage s+1's output at t plus its own
+        // t-1 state, and coef==0 reduces to the identity, so the fused loop
+        // is sample-exact with the skipped-pass semantics while halving
+        // memory traffic (and the two multiply chains overlap).
+        if (nstages == 2) {
+            int32_t c1 = preemph_coef[ch * nstages + 1];
+            int32_t c0 = preemph_coef[ch * nstages];
+            if (c0 != 0 || c1 != 0) {
+                int32_t p1 = preemph_prev[ch * nstages + 1];
+                int32_t p0 = preemph_prev[ch * nstages];
+                for (int t = 0; t < n; t++) {
+                    p1 = d[t] + ((p1 * c1) >> kPreemphShift);
+                    p0 = p1 + ((p0 * c0) >> kPreemphShift);
+                    d[t] = p0;
+                }
+            }
+        } else {
+            for (int s = nstages - 1; s >= 0; s--) {
+                int32_t coef = preemph_coef[ch * nstages + s];
+                if (coef == 0) continue;
+                int32_t prev = preemph_prev[ch * nstages + s];
+                for (int t = 0; t < n; t++) {
+                    prev = d[t] + ((prev * coef) >> kPreemphShift);
+                    d[t] = prev;
+                }
             }
         }
     }
