@@ -172,6 +172,29 @@ def main() -> None:
         cts.append(time.perf_counter() - t0)
     corpus_x = (4 * nt / rate) / min(cts)
 
+    # -- pooled TPU corpus decode: all 4 tracks' reconstruction rows ride
+    #    shared device synthesis launches (the scan cost is per time step,
+    #    lanes are nearly free — codec/tpu_decoder.py); verified lossless
+    from linne_tpu.codec.tpu_decoder import TpuDecoder
+
+    tdec = TpuDecoder()
+    res = tdec.decode_many(outs)  # warm (compile + dispatch)
+    for d, t in zip(res, tracks):
+        assert all(np.array_equal(d[c], t[c]) for c in range(2))
+    dts = []
+    while len(dts) < 6:
+        t0 = time.perf_counter()
+        tdec.decode_many(outs)
+        dts.append(time.perf_counter() - t0)
+        if len(dts) >= 3 and sum(
+                1 for t in dts if t <= min(dts) * 1.1) >= 2:
+            break
+        if len(dts) % 3 == 0:
+            time.sleep(3)
+    corpus_dec_s = min(dts)
+    corpus_dec_x = (4 * nt / rate) / corpus_dec_s
+    corpus_dec_msamp = 4 * 2 * nt / 1e6 / corpus_dec_s
+
     msamp = 2 * n / 1e6  # stereo samples in the track
     print(json.dumps({
         "metric": "mode7_encode_realtime_x",
@@ -188,6 +211,8 @@ def main() -> None:
         "decode_mode7_vs_c_ref_hw": round(dec7_x / BASELINE_DECODE_X[7], 2),
         "decode_mode7_msamples_s": round(msamp * dec7_x / audio_seconds, 1),
         "corpus_encode_realtime_x": round(corpus_x, 1),
+        "corpus_decode_realtime_x": round(corpus_dec_x, 1),
+        "corpus_decode_msamples_s": round(corpus_dec_msamp, 1),
         **samebox,
     }))
     print(
