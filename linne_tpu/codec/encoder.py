@@ -20,6 +20,8 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -55,13 +57,24 @@ def _roundup(val: int, n: int) -> int:
     return ((val + n - 1) // n) * n
 
 
+def _res_width_classes(bps: int) -> tuple:
+    """Allowed bit widths of the device->host residual plane, widest first.
+    D2H bandwidth is the encode bottleneck (docs/PROFILE_r2.md): residuals
+    of compressible material fit well under the sample width, so the plane
+    carries W bits per sample (two's complement). W adapts per batch: the
+    device reports each block's minimal width (res_maxw in the side tensor)
+    and the host dispatches the next batch at the smallest class covering
+    the previous one (quiet material saves up to ~29% of the dominant
+    transfer; docs/PROFILE_r3.md). Blocks that exceed the dispatched W fall
+    back to full int32 rows (per-block width check, see _drain_batch).
+    The class list is kept short: each class compiles its own finish-stage
+    executable (persistent-cached)."""
+    return (14, 12, 10) if bps <= 16 else (24, 20)
+
+
 def _res_pack_width(bps: int) -> int:
-    """Static bit width of the device->host residual plane. D2H bandwidth is
-    the encode bottleneck (docs/PROFILE_r2.md): residuals of compressible
-    material fit well under the sample width, so the plane carries W bits per
-    sample (two's complement); the rare blocks that exceed it fall back to
-    the full int32 tensor (per-block flag, see _drain_batch)."""
-    return 14 if bps <= 16 else 24
+    """Widest (startup/default) residual-plane class."""
+    return _res_width_classes(bps)[0]
 
 
 # shared with the batched decoder's reconstruction download
@@ -114,6 +127,7 @@ class TpuEncoder:
         self.codebook = None
         self._analyze_cache = {}
         self._exact_tail = None
+        self._maxw_seen = {}  # block length -> widest residual seen
 
     def set_encode_parameter(self, parameter: EncodeParameter) -> None:
         parameter.validate_against(self.config)
@@ -122,6 +136,7 @@ class TpuEncoder:
         self.codebook = get_codebook(self.preset.coef_freq_table)
         self._analyze_cache = {}
         self._exact_tail = None
+        self._maxw_seen = {}
 
     # -- the jitted per-batch analysis -------------------------------------
 
@@ -239,7 +254,7 @@ class TpuEncoder:
             af_stages = None
 
         def _finish(raw_flag, silent_flag, preemph_prev, preemph_coef,
-                    buf, log2u, params):
+                    buf, log2u, params, W):
             int_coefs = []
             rshifts = []
             for li in range(len(orders)):
@@ -254,9 +269,13 @@ class TpuEncoder:
                     unit_choices[li])
             porder, k2s = R.rice_search(
                 x, jnp.float64 if dtype == jnp.float64 else jnp.float32)
-            W = _res_pack_width(bps)
-            lim = 1 << (W - 1)
-            res_overflow = jnp.any((x >= lim) | (x < -lim), axis=(-2, -1))
+            # minimal two's-complement width of the block's residuals:
+            # x fits w iff -2^(w-1) <= x < 2^(w-1). The host derives the
+            # overflow fallback (res_maxw > W) AND picks the next batch's
+            # pack width class from it (adaptive W, docs/PROFILE_r3.md).
+            m = jnp.maximum(jnp.max(x, axis=(-2, -1)),
+                            -jnp.min(x, axis=(-2, -1)) - 1)
+            res_maxw = jnp.where(m > 0, 32 - jax.lax.clz(m), 0) + 1
             B = x.shape[0]
             C = x.shape[1]
 
@@ -278,7 +297,7 @@ class TpuEncoder:
                      | (b[..., 3] << 24))
                 return jax.lax.bitcast_convert_type(w, jnp.int32)
 
-            parts = [bc1(raw_flag), bc1(silent_flag), bc1(res_overflow),
+            parts = [bc1(raw_flag), bc1(silent_flag), bc1(res_maxw),
                      preemph_prev.astype(jnp.int32),
                      preemph_coef.astype(jnp.int32)]
             for li in range(len(orders)):
@@ -299,21 +318,26 @@ class TpuEncoder:
             packed = jnp.concatenate([side, res_words], axis=-1)
             return dict(packed=packed, residual=x)
 
-        @jax.jit
+        # W is a static arg: each width class gets its own cached executable
+        # of the finish stage only — the pre/fit stages are shared across
+        # classes (adaptive W recompiles ~1/10th of the chain per class)
+        @functools.partial(jax.jit, static_argnames="W")
         def finish_stage(raw_flag, silent_flag, preemph_prev, preemph_coef,
-                         buf, log2u, params):
+                         buf, log2u, params, W):
             return _finish(raw_flag, silent_flag, preemph_prev, preemph_coef,
-                           buf, log2u, params)
+                           buf, log2u, params, W)
 
-        @jax.jit
+        @functools.partial(jax.jit, static_argnames="W")
         def select_finish_stage(raw_flag, silent_flag, preemph_prev,
                                 preemph_coef, buf, final_res, log2u_r,
-                                params_r):
+                                params_r, W):
             log2u, params, _best = _select(final_res, log2u_r, params_r)
             return _finish(raw_flag, silent_flag, preemph_prev, preemph_coef,
-                           buf, log2u, params)
+                           buf, log2u, params, W)
 
-        def analyze(blocks):
+        def analyze(blocks, W=None):
+            if W is None:
+                W = _res_pack_width(bps)
             (raw_flag, silent_flag, pprev, pcoef, buf, sig_r) = (
                 pre_stage(blocks))
             log2u_r = []
@@ -338,9 +362,9 @@ class TpuEncoder:
                 if train_fn is not None:
                     params_sel = train_fn(sig_r[0], params_sel, log2u_sel)
                 return finish_stage(raw_flag, silent_flag, pprev, pcoef, buf,
-                                    log2u_sel, params_sel)
+                                    log2u_sel, params_sel, W=W)
             return select_finish_stage(raw_flag, silent_flag, pprev, pcoef,
-                                       buf, x, log2u_r, params_r)
+                                       buf, x, log2u_r, params_r, W=W)
 
         self._analyze_cache[key] = (analyze, num_analyze)
         return self._analyze_cache[key]
@@ -529,10 +553,25 @@ class TpuEncoder:
             p.bits_per_sample)
         return frame_block(BLOCK_TYPE_RAW, n, payload)
 
+    def _pick_width(self, n: int) -> int:
+        """Residual-plane width class for the next dispatch of length n:
+        smallest class covering the widest residual the previous batch of
+        this length produced (content is locally stationary; mispredictions
+        are lossless via the int32 fallback rows)."""
+        classes = _res_width_classes(self.parameter.bits_per_sample)
+        seen = self._maxw_seen.get(n)
+        if seen is None:
+            return classes[0]
+        for w in reversed(classes):  # narrowest first
+            if w >= seen:
+                return w
+        return classes[0]
+
     def _dispatch_batch(self, blocks: np.ndarray, n: int,
                         real_count: Optional[int] = None):
         """Asynchronously launch analysis of one [B, C, >=n] batch."""
         fn, num_analyze = self._analyze_fn(n)
+        W = self._pick_width(n)
         width = max(n, num_analyze)
         if blocks.shape[-1] < width:
             pad = np.zeros(blocks.shape[:-1] + (width - blocks.shape[-1],),
@@ -556,8 +595,9 @@ class TpuEncoder:
             axis = self.mesh.axis_names[0]
             arr = jax.device_put(
                 blocks_dev, NamedSharding(self.mesh, P(axis, None, None)))
-            return self._prefetch(fn(arr)), blocks, n, real
-        return self._prefetch(fn(jnp.asarray(blocks_dev))), blocks, n, real
+            return self._prefetch(fn(arr, W)), blocks, n, real, W
+        return (self._prefetch(fn(jnp.asarray(blocks_dev), W)),
+                blocks, n, real, W)
 
     @staticmethod
     def _prefetch(out):
@@ -677,10 +717,11 @@ class TpuEncoder:
             outs.append(header.pack() + body)
         return outs
 
-    def _drain_blocks(self, out_dev, blocks, n, real=None) -> List[bytes]:
+    def _drain_blocks(self, out_dev, blocks, n, real=None,
+                      W=None) -> List[bytes]:
         if real is None:
             real = blocks.shape[0]
-        return self._drain_batch(out_dev, blocks, n, real)
+        return self._drain_batch(out_dev, blocks, n, real, W)
 
     @staticmethod
     def _unpack_bytes(words: np.ndarray, count: int,
@@ -712,20 +753,21 @@ class TpuEncoder:
         return (res ^ sign) - sign
 
     def _drain_batch(self, out_dev, blocks: np.ndarray, n: int,
-                     real: int) -> List[bytes]:
+                     real: int, W: Optional[int] = None) -> List[bytes]:
         """Drain one dispatched batch into per-block framed payloads.
 
         ONE host pull per batch (side info + byte-packed coef/k2 planes +
         W-bit-packed residuals); int32 residual rows are fetched only for
-        the rare blocks whose residual exceeds W bits."""
+        the rare blocks whose residual exceeds the dispatched W bits."""
         p = self.parameter
+        if W is None:
+            W = _res_pack_width(p.bits_per_sample)
         L = self.preset.num_layers
         total_order = sum(self.preset.layer_num_params)
         (off_layers, off_porder, off_coefw, off_k2w, side_k,
          max_parts) = self._side_layout(n)
         packed = np.asarray(out_dev["packed"])      # [B, C, K + res words]
         side = packed[..., :side_k]
-        W = _res_pack_width(p.bits_per_sample)
         if native.available():
             g, _ = _pack_geometry(W)
             res = native.unpack_bits(packed[..., side_k:], W,
@@ -734,7 +776,13 @@ class TpuEncoder:
             res = self._unpack_res(packed[..., side_k:], W)
         raw = side[:, 0, 0] != 0
         silent = side[:, 0, 1] != 0
-        overflow = side[:, 0, 2] != 0
+        maxw = side[:, 0, 2]
+        overflow = maxw > W
+        # feed the adaptive width choice for the NEXT batch of this length
+        # from blocks that actually carry residuals
+        live = ~raw[:real] & ~silent[:real]
+        if live.any():
+            self._maxw_seen[n] = int(maxw[:real][live].max())
         # raw/silent blocks never read residuals; fetch fallback rows in one
         # padded-size gather (pow-2 padding bounds jit specializations)
         ov = np.nonzero(overflow[:real] & ~raw[:real] & ~silent[:real])[0]

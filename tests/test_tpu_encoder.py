@@ -123,6 +123,42 @@ def test_encode_block_matches_encode_whole():
     assert bytes(out) == whole
 
 
+def test_adaptive_width_byte_invariant_and_engages():
+    """The residual-plane width class only shapes the device->host
+    transfer, never the emitted bytes: a quiet corpus encoded batch-by-batch
+    (adapting from 14 down) must byte-match an encoder forced to start at
+    the narrowest class, adapt to a narrower W after the first batch, and
+    decode losslessly."""
+    from linne_tpu.codec.encoder import _res_width_classes
+
+    spb = 2560
+    n = spb * 12
+    t = np.arange(n)
+    sig = np.round(140 * np.sin(2 * np.pi * 220 * t / 44100)
+                   + 20 * np.sin(2 * np.pi * 0.013 * t)).astype(np.int32)
+    s = np.stack([sig, -sig])
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=spb, preset=0, ch_process_method=CH_PROCESS_MS)
+
+    enc = TpuEncoder(batch_blocks=4)
+    enc.set_encode_parameter(param)
+    data = enc.encode_whole([s[0], s[1]], n)
+    assert spb in enc._maxw_seen
+    narrowest = _res_width_classes(16)[-1]
+    assert enc._pick_width(spb) < _res_width_classes(16)[0]
+
+    forced = TpuEncoder(batch_blocks=4)
+    forced.set_encode_parameter(param)
+    forced._maxw_seen[spb] = 1  # start at the narrowest class immediately
+    assert forced._pick_width(spb) == narrowest
+    assert forced.encode_whole([s[0], s[1]], n) == data
+
+    out = Decoder().decode_whole(data)
+    for c in range(2):
+        assert np.array_equal(out[c], s[c])
+
+
 def test_residual_overflow_fallback_16bit_spike():
     """A tonal 16-bit signal with a transient whose residual exceeds the
     14-bit packed plane (but not int16) must take the int32 fallback row and
@@ -176,7 +212,8 @@ def test_native_unpack_bits_matches_numpy():
     if not native.available():
         pytest.skip("native runtime unavailable")
     rng = np.random.default_rng(7)
-    for width in (14, 18, 24, 26):  # encoder planes + decoder downloads
+    # encoder width classes + decoder downloads
+    for width in (10, 12, 14, 18, 20, 24, 26):
         g, wpg = _pack_geometry(width)
         for n in (10240, 512, g, 1, 777):
             wpr = ((n + g - 1) // g) * wpg
