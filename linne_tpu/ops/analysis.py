@@ -39,16 +39,67 @@ from .windows import WINDOW_SIN, WINDOW_WELCH, window_weights
 
 _FFT_AUTOCORR_MIN_LAGS = 32
 
+# Large-order routes: FFT (Wiener-Khinchin / overlap-correlate) or MXU
+# matmul (chunked Gram/Toeplitz formulations). FFTs map poorly onto the
+# TPU (measured r3: 4.4 ms autocorr + 8.3 ms forward per candidate at
+# mode-7 layer-1 shapes, vs sub-ms on the MXU), so the matmul routes are
+# the default where an MXU exists; CPU keeps the FFT route that the
+# byte-exact golden corpus was validated on. Both compute the same
+# quantity — only float rounding differs, which can shift chosen
+# coefficients (never losslessness).
+_MATMUL_ROUTES_OVERRIDE = None  # tests force True/False
+
+
+def _use_matmul_routes() -> bool:
+    if _MATMUL_ROUTES_OVERRIDE is not None:
+        return _MATMUL_ROUTES_OVERRIDE
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+_CHUNK = 128  # MXU-native tile; also bounds the max lag the G-matrix covers
+
+
+def _autocorr_matmul(x: jnp.ndarray, num_lags: int) -> jnp.ndarray:
+    """Autocorrelation as one batched matmul: chunk the signal into K=128
+    rows Zl [m, K] and their (num_lags-1)-extended contexts Zr [m, K+L-1];
+    G = Zl^T @ Zr accumulates every (position-in-chunk, offset) product, and
+    ac[lag] is the lag-th diagonal sum of G. O(n*K) MAC on the MXU instead
+    of an FFT pair the TPU executes scalar-ish."""
+    n = x.shape[-1]
+    K = _CHUNK
+    L = num_lags
+    assert L - 1 <= K
+    batch_shape = x.shape[:-1]
+    m = -(-n // K)
+    w = K + L - 1
+    # pad for the widest context read: last chunk start (m-1)*K + w
+    xp = jnp.pad(x.reshape(-1, n), [(0, 0), (0, m * K + L - 1 - n)])
+    zl = xp[:, : m * K].reshape(-1, m, K)
+    idx = jnp.arange(m)[:, None] * K + jnp.arange(w)[None, :]
+    zr = xp[:, idx]  # [rows, m, w]
+    g = jnp.einsum("rmk,rmw->rkw", zl, zr,
+                   precision=jax.lax.Precision.HIGHEST)
+    jj = jnp.arange(K)[:, None]
+    ll = jnp.arange(L)[None, :]
+    ac = jnp.sum(g[:, jj, jj + ll], axis=1)  # [rows, L]
+    return ac.reshape(batch_shape + (L,)).astype(x.dtype)
+
 
 def autocorrelation(x: jnp.ndarray, num_lags: int) -> jnp.ndarray:
     """Batched autocorrelation over the last axis: ac[..., lag] =
     sum_t x[t] * x[t+lag] for lag in [0, num_lags).
 
-    Two formulations: a lag scan (one pass over the signal per lag) for
-    small lag counts, and the Wiener-Khinchin FFT route for large ones —
-    at order 128 the direct form reads the signal 129 times (HBM-bound on
-    TPU) while irfft(|rfft|^2) reads it ~3 times."""
+    Three formulations: a lag scan (one pass over the signal per lag) for
+    small lag counts; for large ones the Wiener-Khinchin FFT route (CPU) or
+    the chunked G-matrix matmul (TPU MXU) — at order 128 the direct form
+    reads the signal 129 times (HBM-bound on TPU)."""
     n = x.shape[-1]
+    if num_lags >= _FFT_AUTOCORR_MIN_LAGS and num_lags - 1 <= _CHUNK \
+            and _use_matmul_routes():
+        return _autocorr_matmul(x, num_lags)
     if num_lags >= _FFT_AUTOCORR_MIN_LAGS:
         fft_n = 1
         while fft_n < n + num_lags:
@@ -161,6 +212,8 @@ def unit_forward(
     npu = params.shape[-1]
     ns = n // num_units
     if npu >= _FFT_AUTOCORR_MIN_LAGS:
+        if _use_matmul_routes():
+            return _unit_forward_matmul(signal, params, num_units)
         return _unit_forward_fft(signal, params, num_units)
     xp = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(npu, 0)])
 
@@ -210,6 +263,47 @@ def _unit_forward_fft(signal: jnp.ndarray, params: jnp.ndarray,
     return jnp.concatenate([signal[..., :1], out[..., 1:]], axis=-1)
 
 
+def _unit_forward_matmul(signal: jnp.ndarray, params: jnp.ndarray,
+                         num_units: int) -> jnp.ndarray:
+    """unit_forward as one batched MXU matmul: chunk each unit's
+    left-context-extended segment into K-output windows Xc [m, K+npu-1] and
+    multiply by a per-row Toeplitz expansion of the filter H [K+npu-1, K]
+    (H[w, r] = h[w-r]); pred chunks = Xc @ H. Replaces the FFT pair (poor
+    on TPU) with O(ns*npu) MAC on the MXU; same quantity, float rounding
+    may differ."""
+    n = signal.shape[-1]
+    npu = params.shape[-1]
+    ns = n // num_units
+    batch_shape = signal.shape[:-1]
+    K = _CHUNK
+    m = -(-ns // K)
+    w = K + npu - 1
+    seg_len = ns + npu
+    # ctx[u, t] = x[u*ns - npu + t], zero history before t=0 (same layout
+    # as the FFT route); pad so the last chunk's window stays in bounds
+    xp = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(npu, 0)])
+    idx = (jnp.arange(num_units)[:, None] * ns
+           + jnp.arange(seg_len)[None, :])
+    ctx = xp[..., idx]  # [..., u, seg_len]
+    pad_tail = (m - 1) * K + w - seg_len
+    if pad_tail > 0:
+        ctx = jnp.pad(ctx, [(0, 0)] * (ctx.ndim - 1) + [(0, pad_tail)])
+    widx = jnp.arange(m)[:, None] * K + jnp.arange(w)[None, :]
+    xc = ctx[..., widx]  # [..., u, m, w]
+    # H[w_, r] = h[w_ - r] for 0 <= w_-r < npu else 0, via one gather from
+    # the zero-extended filter
+    pflat = jnp.broadcast_to(params, batch_shape + (num_units, npu))
+    pz = jnp.pad(pflat, [(0, 0)] * (pflat.ndim - 1) + [(0, 1)])
+    hidx = jnp.arange(w)[:, None] - jnp.arange(K)[None, :]
+    hmat = pz[..., jnp.where((hidx >= 0) & (hidx < npu), hidx, npu)]
+    pred = jnp.einsum("...umw,...uwk->...umk", xc, hmat,
+                      precision=jax.lax.Precision.HIGHEST)
+    pred = pred.reshape(batch_shape + (num_units, m * K))[..., :ns]
+    pred = pred.reshape(batch_shape + (num_units * ns,)).astype(signal.dtype)
+    out = signal + pred
+    return jnp.concatenate([signal[..., :1], out[..., 1:]], axis=-1)
+
+
 def candidate_units(order: int, n: int, max_units: int = 128) -> list:
     """Static list of unit counts the reference would try
     (linne_network.c:284-295): powers of two dividing both the layer order
@@ -234,6 +328,11 @@ def fit_layer(
     """
     n = signal.shape[-1]
     cands = candidate_units(order, n)
+    # NOTE r3 negative result: pooling every candidate's Levinson-Durbin
+    # rows into ONE masked full-order scan was measured 612 ms vs 37 ms at
+    # order 128 — each step drags sum(u)=255 rows x 129 lags of carry
+    # through HBM, ~100x the arithmetic of the separate scans. Keep the
+    # per-candidate recursions.
     # running first-minimum fold: avoids materializing every candidate's
     # residual plane at once (ncand x ridge x batch x n would not fit HBM
     # for large block batches)

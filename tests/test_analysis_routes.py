@@ -1,0 +1,91 @@
+"""Formulation equivalence of the TPU analysis routes.
+
+The TPU path computes large-order autocorrelation / unit forward passes as
+MXU matmuls (chunked G-matrix / Toeplitz, ops/analysis.py); the
+CPU golden path keeps the FFT formulations. These tests pin
+that both compute the same quantities to float rounding, and that an
+encoder forced onto the TPU formulations still produces decodable,
+lossless streams.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import WAVEFORMS
+
+from linne_tpu.ops import analysis as A
+
+
+@pytest.fixture
+def force_matmul():
+    A._MATMUL_ROUTES_OVERRIDE = True
+    yield
+    A._MATMUL_ROUTES_OVERRIDE = None
+
+
+def _sig(shape=(2, 3, 2, 10240), seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(0, 1, shape).astype(dtype))
+
+
+@pytest.mark.parametrize("num_lags", [129, 65, 33])
+def test_autocorr_matmul_matches_fft(num_lags):
+    x = _sig()
+    a = A.autocorrelation(x, num_lags)
+    b = A._autocorr_matmul(x, num_lags)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-10, atol=1e-8)
+
+
+@pytest.mark.parametrize("n", [10240, 6000, 5096])
+def test_autocorr_matmul_ragged_lengths(n):
+    x = _sig((2, 2, n), seed=3)
+    a = A.autocorrelation(x, 129)
+    b = A._autocorr_matmul(x, 129)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-10, atol=1e-8)
+
+
+@pytest.mark.parametrize("u,npu", [(1, 128), (2, 64), (4, 32), (1, 64)])
+def test_unit_forward_matmul_matches_fft(u, npu):
+    x = _sig()
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.normal(0, 0.05, x.shape[:-1] + (u, npu)))
+    a = A._unit_forward_fft(x, p, u)
+    b = A._unit_forward_matmul(x, p, u)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
+def test_fit_layer_same_selection_across_routes():
+    """The unit-count selection (transmitted!) must agree between routes on
+    well-separated losses; coefficients agree to rounding."""
+    x = _sig((2, 4, 2, 10240), seed=5)
+    A._MATMUL_ROUTES_OVERRIDE = False
+    ref = A.fit_layer(x, 128, 0.0)
+    A._MATMUL_ROUTES_OVERRIDE = True
+    new = A.fit_layer(x, 128, 0.0)
+    A._MATMUL_ROUTES_OVERRIDE = None
+    assert np.array_equal(np.asarray(ref[0]), np.asarray(new[0]))
+    np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(new[1]),
+                               atol=1e-10)
+
+
+def test_encoder_lossless_on_matmul_routes(force_matmul):
+    """End-to-end: a TpuEncoder tracing the matmul/pooled formulations (as
+    a real TPU run would) emits a stream our decoder restores bit-exactly."""
+    from linne_tpu.codec.decoder import Decoder
+    from linne_tpu.codec.encoder import TpuEncoder
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.constants import CH_PROCESS_MS
+
+    s = WAVEFORMS["gauss"](2560 * 3 + 700, 2, 16)
+    enc = TpuEncoder(batch_blocks=4)
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=2560, preset=7, ch_process_method=CH_PROCESS_MS))
+    data = enc.encode_whole(list(s), s.shape[1])
+    out = Decoder().decode_whole(data)
+    for c in range(2):
+        assert np.array_equal(out[c], s[c])
