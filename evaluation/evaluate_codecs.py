@@ -52,9 +52,13 @@ class CodecResult:
 
 
 class LinneTpuCodec:
-    def __init__(self, mode: int):
-        self.name = f"linne_tpu -m {mode}"
+    def __init__(self, mode: int, learning: bool = False, af_iters: int = 0):
+        suffix = (" -l" if learning else "") + (
+            f" -a {af_iters}" if af_iters else "")
+        self.name = f"linne_tpu -m {mode}{suffix}"
         self.mode = mode
+        self.learning = learning
+        self.af_iters = af_iters
         self._encoders = {}
 
     def run(self, wav_path: pathlib.Path, workdir: pathlib.Path) -> CodecResult:
@@ -69,6 +73,8 @@ class LinneTpuCodec:
                 bits_per_sample=fmt.bits_per_sample,
                 sampling_rate=fmt.sampling_rate,
                 preset=self.mode,
+                enable_learning=self.learning,
+                num_afmethod_iterations=self.af_iters,
                 ch_process_method=(CH_PROCESS_MS if fmt.num_channels >= 2
                                    else CH_PROCESS_NONE)))
             # warm up compilation outside the timed region
@@ -132,11 +138,26 @@ class CliCodec:
 def build_codecs(args):
     codecs = [LinneTpuCodec(m) for m in args.modes]
     ref = REPO / ".refbuild" / "linne"
+    if getattr(args, "learning_rows", False):
+        # quantify the TPU path's -l/-a numerical deviation (true jax.grad
+        # trainer vs the reference's 1/npu-scaled backward; float32 AF
+        # refits) as size_pct deltas against the C CLI with the same flags
+        codecs.append(LinneTpuCodec(0, learning=True))
+        codecs.append(LinneTpuCodec(0, af_iters=3))
     if ref.is_file():
         for m in args.modes:
             codecs.append(CliCodec(
                 f"linne(C) -m {m}",
                 [str(ref), "-e", "-m", str(m), "{inp}", "{out}"],
+                [str(ref), "-d", "{inp}", "{out}"], ".lnn"))
+        if getattr(args, "learning_rows", False):
+            codecs.append(CliCodec(
+                "linne(C) -m 0 -l",
+                [str(ref), "-e", "-m", "0", "-l", "{inp}", "{out}"],
+                [str(ref), "-d", "{inp}", "{out}"], ".lnn"))
+            codecs.append(CliCodec(
+                "linne(C) -m 0 -a 3",
+                [str(ref), "-e", "-m", "0", "-a", "3", "{inp}", "{out}"],
                 [str(ref), "-d", "{inp}", "{out}"], ".lnn"))
     if shutil.which("flac"):
         codecs.append(CliCodec(
@@ -182,6 +203,9 @@ def main():
     ap.add_argument("corpus", nargs="?", help="directory of genre/WAV files")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--modes", type=int, nargs="+", default=[0, 4, 7])
+    ap.add_argument("--learning-rows", action="store_true",
+                    help="add -m 0 -l and -m 0 -a 3 rows (ours + C) to "
+                         "quantify the TPU path's learning/AF deviation")
     ap.add_argument("--out", default=str(REPO / "evaluation"))
     ap.add_argument("--repeat", type=int, default=1,
                     help="full sweeps; per-cell min of the time metrics "
