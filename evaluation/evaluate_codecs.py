@@ -183,10 +183,27 @@ def synth_corpus(root: pathlib.Path):
         x = x + noise * rng.normal(0, 1, n)
         return x
 
+    # beyond tone mixes: percussive transients, formant-swept "vocal"
+    # material, and quiet passages make compression parity harder to game
+    # with tonal synthetics (RWC, the reference's corpus, is not available
+    # in this environment)
+    env = np.exp(-np.mod(t, 0.5) * 18.0)  # 120 BPM decaying hits
+    percussive = (6000 * env * rng.normal(0, 1, n)
+                  + 9000 * env * np.sin(2 * np.pi * 55 * t))
+    formant = np.sin(2 * np.pi * (3 + 0.5 * np.sin(2 * np.pi * 0.3 * t)) * t)
+    vocal = (7000 * np.sin(2 * np.pi * 155 * t + 4 * formant)
+             * (0.6 + 0.4 * np.sin(2 * np.pi * 2.1 * t))
+             + 90 * rng.normal(0, 1, n))
+    quiet = (500 * np.sin(2 * np.pi * 196 * t)
+             + 300 * np.sin(2 * np.pi * 294 * t)
+             + 25 * rng.normal(0, 1, n))
     corpus = {
         "classic": tone_mix([262, 330, 392, 523], 50),
         "jazz": tone_mix([220, 277, 370, 440, 554], 200),
         "popular": tone_mix([110, 220, 440, 880], 800),
+        "percussive": percussive,
+        "vocal": vocal,
+        "quiet": quiet,
     }
     for genre, mono in corpus.items():
         d = root / genre

@@ -250,3 +250,34 @@ def test_huffman_compresses_real_file():
     r = BitReader(coded)
     out = bytes(cb.get(r) for _ in range(len(data)))
     assert out == data
+
+
+def test_rice_run_extreme_quotients_and_buffer_edges():
+    """Deterministic extremes for the native bulk Rice decoder (rice_run):
+    a near-silent block with huge isolated spikes produces tiny k2 with
+    multi-thousand-bit quotient runs (the fast window must fall back to the
+    generic zero-run path), and a full-scale noise block exercises large k
+    payload extraction right up to the stream tail."""
+    import numpy as np
+
+    from linne_tpu.codec.decoder import Decoder
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    n = 2048
+    rng = np.random.default_rng(5)
+    spiky = rng.integers(-2, 3, size=(2, n)).astype(np.int32)
+    spiky[0, 100] = 30000   # quotient run of thousands of zero bits
+    spiky[1, n - 3] = -32768  # long run right before the stream tail
+    loud = rng.integers(-32768, 32768, size=(2, n)).astype(np.int32)
+    loud[:, -8:] = 32767  # max-k payloads at the buffer edge
+
+    for sig in (spiky, loud):
+        enc = ExactEncoder()
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=2, bits_per_sample=16, sampling_rate=44100,
+            num_samples_per_block=n, preset=0, ch_process_method=1))
+        data = enc.encode_whole([sig[0], sig[1]], n)
+        out = Decoder().decode_whole(data)
+        for c in range(2):
+            assert np.array_equal(out[c], sig[c])
