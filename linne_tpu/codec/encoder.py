@@ -9,8 +9,10 @@ Emitted streams are always losslessly decodable by the reference decoder
 (integer predict/Rice semantics are wire-exact); float analysis runs in
 float64 on CPU (near-reference coefficient parity) or float32 on TPU, which
 may select slightly different coefficients than the C encoder — compression
-differs by a hair, losslessness never (the residual is recomputed from the
-quantized integers on device, mirroring linne_encoder.c:686-696).
+differs measurably by <=0.01 percentage points of size (eval corpus, all of
+-m, -l, -a 3: docs/PROFILE_r3.md), losslessness never (the residual is
+recomputed from the quantized integers on device, mirroring
+linne_encoder.c:686-696).
 """
 
 from __future__ import annotations

@@ -11,7 +11,11 @@ the reference's independent per-block stopping rule.
 Gradients come from jax.grad of the actual forward cascade (the reference's
 hand-rolled backward scales the input gradient by 1/order as a heuristic —
 linne_network.c:251-252 — so trained coefficients differ in low bits from
-the C encoder; output streams remain lossless either way).
+the C encoder; output streams remain lossless either way). The compression
+cost of the deviation is measured, not assumed: `-m 0 -l` on the TPU path
+vs the C CLI with the same flags differs by <=0.01 percentage points of
+size across the eval corpus (48.73/55.06/65.13 vs C 48.72/55.06/65.13;
+docs/PROFILE_r3.md, evaluate_codecs.py --learning-rows).
 """
 
 from __future__ import annotations
