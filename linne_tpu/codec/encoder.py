@@ -637,7 +637,13 @@ class TpuEncoder:
         tails are grouped by length. Returns one .lnn byte string per
         track. Tail handling follows the same rule as encode_whole
         (_use_host_tail), so the two APIs produce identical bytes for the
-        same input."""
+        same input.
+
+        Measured regimes (docs/PROFILE_r3.md): on many SHORT tracks the
+        cross-track batching wins decisively (64 x 1.9 s tracks, mode 7:
+        13.5x over per-track encode_whole — short tracks underfill and pad
+        per-track batches); on long tracks the two are equivalent through
+        the tunnel (the transfer floor hides the batching payoff)."""
         p = self.parameter
         spb = p.num_samples_per_block
         nch = p.num_channels
