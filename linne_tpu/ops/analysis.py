@@ -61,6 +61,13 @@ def _use_matmul_routes() -> bool:
 
 _CHUNK = 128  # MXU-native tile; also bounds the max lag the G-matrix covers
 
+# The matmul routes materialize O(rows * K * (K+lags)) intermediates; for
+# large-unit candidates (many rows, small npu) that HBM traffic exceeds
+# what the scan routes cost (measured: gating on npu alone regressed
+# fit_layer(128) 36.6 -> 53.7 ms via the u=8/16 candidates' ~600 MB+
+# G tensors). Cap the materialization instead.
+_MATMUL_BYTES_BUDGET = 420 * 1024 * 1024
+
 
 def _autocorr_matmul(x: jnp.ndarray, num_lags: int) -> jnp.ndarray:
     """Autocorrelation as one batched matmul: chunk the signal into K=128
@@ -97,9 +104,16 @@ def autocorrelation(x: jnp.ndarray, num_lags: int) -> jnp.ndarray:
     the chunked G-matrix matmul (TPU MXU) — at order 128 the direct form
     reads the signal 129 times (HBM-bound on TPU)."""
     n = x.shape[-1]
-    if num_lags >= _FFT_AUTOCORR_MIN_LAGS and num_lags - 1 <= _CHUNK \
-            and _use_matmul_routes():
-        return _autocorr_matmul(x, num_lags)
+    # the MXU route pays off well below the FFT threshold (lag scans cost
+    # one pass per lag): gate at 9 lags (npu >= 8) AND a bound on the
+    # G-tensor materialization (see _MATMUL_BYTES_BUDGET)
+    if 9 <= num_lags <= _CHUNK + 1 and _use_matmul_routes():
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= int(d)
+        g_bytes = rows * _CHUNK * (_CHUNK + num_lags - 1) * 4
+        if g_bytes <= _MATMUL_BYTES_BUDGET:
+            return _autocorr_matmul(x, num_lags)
     if num_lags >= _FFT_AUTOCORR_MIN_LAGS:
         fft_n = 1
         while fft_n < n + num_lags:
@@ -211,9 +225,15 @@ def unit_forward(
     n = signal.shape[-1]
     npu = params.shape[-1]
     ns = n // num_units
-    if npu >= _FFT_AUTOCORR_MIN_LAGS:
-        if _use_matmul_routes():
+    if npu >= 8 and _use_matmul_routes():
+        rows = 1
+        for d in signal.shape[:-1]:
+            rows *= int(d)
+        w = _CHUNK + npu - 1
+        hmat_bytes = rows * num_units * w * _CHUNK * 4
+        if hmat_bytes <= _MATMUL_BYTES_BUDGET:
             return _unit_forward_matmul(signal, params, num_units)
+    if npu >= _FFT_AUTOCORR_MIN_LAGS:
         return _unit_forward_fft(signal, params, num_units)
     xp = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(npu, 0)])
 
