@@ -35,3 +35,29 @@ def test_learning_does_not_hurt_compression():
     trained = _encode(samples, learning=True)
     # trained coefficients should compress at least roughly as well
     assert len(trained) <= len(plain) * 1.02, (len(trained), len(plain))
+
+
+def test_dense_forward_matches_variant_forward():
+    """The trainer's canonical dense layout must compute the same cascade
+    L1 loss as the unit-count-variant formulation, for every mix of
+    per-row unit choices."""
+    import jax.numpy as jnp
+
+    from linne_tpu.ops.training import (
+        _dense_forward_loss, _dense_layouts, _forward_loss)
+
+    rng = np.random.default_rng(3)
+    orders = [4, 32]
+    n = 1280
+    from linne_tpu.ops.analysis import candidate_units
+    choices = [candidate_units(o, n) for o in orders]
+    sig = jnp.asarray(rng.normal(0, 1000, (5, 2, n)), dtype=jnp.float32)
+    params = [jnp.asarray(rng.normal(0, 0.3, (5, 2, o)), dtype=jnp.float32)
+              for o in orders]
+    log2u = [jnp.asarray(rng.choice([int(np.log2(u)) for u in ch], (5, 2)),
+                         dtype=jnp.int32) for ch in choices]
+    ref = _forward_loss(params, log2u, sig, orders, choices)
+    layouts = _dense_layouts(orders, choices, log2u)
+    dense = _dense_forward_loss(params, layouts, sig)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
