@@ -14,8 +14,10 @@ once per iteration into a canonical [u_max, order] per-segment layout
 (_dense_layouts) and the cascade runs one unit_forward per layer. This
 cut the per-iteration op count several-fold vs differentiating through a
 stacked-variant select (the population converges in tens of iterations on
-real material — p50 ~11, max ~55 measured via the exact oracle — so the
-body cost, not the iteration bound, dominates).
+real material — p50 ~11, max ~55 measured via the exact oracle; confirmed
+on-device in f32: iteration caps of 50 and 200 produce byte-identical
+streams in equal time, docs/PROFILE_r3.md — so the body cost, not the
+iteration bound, dominates).
 
 Gradients come from jax.grad of the actual forward cascade (the reference's
 hand-rolled backward scales the input gradient by 1/order as a heuristic —
