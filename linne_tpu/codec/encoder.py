@@ -239,9 +239,25 @@ class TpuEncoder:
             )
             from ..ops.training import make_train_fn
 
-            train_fn = jax.jit(make_train_fn(
+            train_core = make_train_fn(
                 orders, unit_choices, TRAINING_MAX_NUM_ITERATIONS,
-                TRAINING_LEARNING_RATE, TRAINING_LOSS_EPSILON))
+                TRAINING_LEARNING_RATE, TRAINING_LOSS_EPSILON)
+
+            # Train only the first R rows (static). Padding rows of a
+            # partial batch carry no emitted blocks, and training is
+            # per-row independent (masked freezing; the row-position
+            # independence is what already makes encode_many's cross-track
+            # batch compositions byte-equal to encode_whole), so slicing
+            # the trained population to a pow-2 cover of the real rows
+            # shrinks the while_loop body with identical output bytes.
+            @functools.partial(jax.jit, static_argnames="R")
+            def train_fn(sig, params_sel, log2u_sel, R):
+                trained = train_core(
+                    sig[:R], [q[:R] for q in params_sel],
+                    [l[:R] for l in log2u_sel])
+                return [jnp.concatenate([t, q[R:]], axis=0)
+                        if R < q.shape[0] else t
+                        for t, q in zip(trained, params_sel)]
         else:
             train_fn = None
 
@@ -337,7 +353,7 @@ class TpuEncoder:
             return _finish(raw_flag, silent_flag, preemph_prev, preemph_coef,
                            buf, log2u, params, W)
 
-        def analyze(blocks, W=None):
+        def analyze(blocks, W=None, real_rows=None):
             if W is None:
                 W = _res_pack_width(bps)
             (raw_flag, silent_flag, pprev, pcoef, buf, sig_r) = (
@@ -362,7 +378,15 @@ class TpuEncoder:
                         flat, xa = af_stages[li](xa, log2u_sel[li], ridge_val)
                         params_sel.append(flat)
                 if train_fn is not None:
-                    params_sel = train_fn(sig_r[0], params_sel, log2u_sel)
+                    B = int(sig_r[0].shape[0])
+                    R = B
+                    if real_rows is not None and real_rows < B:
+                        R = 8
+                        while R < real_rows:
+                            R *= 2
+                        R = min(R, B)
+                    params_sel = train_fn(sig_r[0], params_sel, log2u_sel,
+                                          R=R)
                 return finish_stage(raw_flag, silent_flag, pprev, pcoef, buf,
                                     log2u_sel, params_sel, W=W)
             return select_finish_stage(raw_flag, silent_flag, pprev, pcoef,
@@ -597,8 +621,10 @@ class TpuEncoder:
             axis = self.mesh.axis_names[0]
             arr = jax.device_put(
                 blocks_dev, NamedSharding(self.mesh, P(axis, None, None)))
-            return self._prefetch(fn(arr, W)), blocks, n, real, W
-        return (self._prefetch(fn(jnp.asarray(blocks_dev), W)),
+            return (self._prefetch(fn(arr, W, real_rows=real)),
+                    blocks, n, real, W)
+        return (self._prefetch(fn(jnp.asarray(blocks_dev), W,
+                                  real_rows=real)),
                 blocks, n, real, W)
 
     @staticmethod

@@ -61,3 +61,24 @@ def test_dense_forward_matches_variant_forward():
     dense = _dense_forward_loss(params, layouts, sig)
     np.testing.assert_allclose(np.asarray(dense), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_partial_batch_trains_sliced_rows_same_bytes():
+    """A partial batch trains only a pow-2 cover of its real rows
+    (encoder.py train_fn R-slice). Training is per-row independent, so
+    the emitted bytes must match an encode whose batch shape needs no
+    slicing at all."""
+    samples = WAVEFORMS["chirp"](2560 * 3, 2, 16)  # 3 blocks
+    ch, n = samples.shape
+    outs = []
+    for bb in (16, 8):  # bb=16: real=3 -> R=8 slice; bb=8: R=B, no slice
+        enc = TpuEncoder(batch_blocks=bb)
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=ch, bits_per_sample=16, sampling_rate=44100,
+            num_samples_per_block=2560, preset=0,
+            ch_process_method=CH_PROCESS_MS, enable_learning=True))
+        outs.append(enc.encode_whole([samples[c] for c in range(ch)], n))
+    assert outs[0] == outs[1]
+    decoded = Decoder().decode_whole(outs[0])
+    for c in range(ch):
+        assert np.array_equal(decoded[c], samples[c])
