@@ -264,7 +264,9 @@ def main():
     for (cname, genre, _wav), r in best.items():
         rows[cname][genre].append(r)
 
-    out_path = pathlib.Path(args.out) / "codec_comparison_summary.csv"
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / "codec_comparison_summary.csv"
     with open(out_path, "w", newline="") as f:
         w = csv.writer(f)
         genres = sorted({g for c in rows.values() for g in c})
