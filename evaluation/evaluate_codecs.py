@@ -215,6 +215,79 @@ def synth_corpus(root: pathlib.Path):
                   np.stack([left, right]).astype(np.int32), rate, 16)
 
 
+def recorded_corpus(root: pathlib.Path) -> int:
+    """Real recorded material available on this machine (best effort).
+
+    RWC (the reference's corpus) has no offline substitute here, but a few
+    genuinely recorded fixtures ship with installed packages; they make the
+    compression-parity claim harder to game with tonal synthetics. Nothing
+    is committed to the repo — tracks are materialized at eval time from
+    their source packages and skipped when absent.
+    """
+    d = root / "recorded"
+    d.mkdir(parents=True, exist_ok=True)
+    count = 0
+
+    # 5 s real 8-bit/48k mono recording (reference wav-parser fixture)
+    src = pathlib.Path("/root/reference/test/wav/a.wav")
+    if src.is_file():
+        fmt, samples = read_wav(str(src))
+        write_wav(str(d / "voice8.wav"), samples, fmt.sampling_rate,
+                  fmt.bits_per_sample)
+        count += 1
+
+    # 0.3 s real 24-bit stereo plucked-string recording (CPython test data)
+    try:
+        import test as _cpython_test
+        src = pathlib.Path(_cpython_test.__file__).parent / (
+            "audiodata") / "pluck-pcm24.wav"
+    except ImportError:
+        src = pathlib.Path("/nonexistent")
+    if src.is_file():
+        try:
+            fmt, samples = read_wav(str(src))
+            write_wav(str(d / "pluck24.wav"), samples, fmt.sampling_rate,
+                      fmt.bits_per_sample)
+            count += 1
+        except Exception:
+            pass
+
+    # 7 s real music loop (pygame example data). Prefer the ogg decoded to
+    # 16-bit PCM by pygame's mixer (runs in whatever python has pygame);
+    # fall back to the 8-bit wav variant read directly.
+    pygame_data = pathlib.Path(
+        "/opt/venv/lib/python3.12/site-packages/pygame/examples/data")
+    helper = (
+        "import pygame,numpy as np,sys\n"
+        "pygame.mixer.pre_init(frequency=22050,size=-16,channels=2)\n"
+        "pygame.mixer.init()\n"
+        "a = pygame.sndarray.array(pygame.mixer.Sound(sys.argv[1]))\n"
+        "np.save(sys.argv[2], a.T.astype(np.int32))\n")
+    ogg = pygame_data / "house_lo.ogg"
+    done = False
+    if ogg.is_file() and pathlib.Path("/opt/venv/bin/python").is_file():
+        import os
+        pcm = d / "house_pcm.npy"
+        r = subprocess.run(
+            ["/opt/venv/bin/python", "-c", helper, str(ogg), str(pcm)],
+            capture_output=True, env={**os.environ,
+                                      "SDL_AUDIODRIVER": "dummy"})
+        if r.returncode == 0 and pcm.is_file():
+            arr = np.load(pcm)
+            pcm.unlink()
+            write_wav(str(d / "house16.wav"), arr, 22050, 16)
+            count += 1
+            done = True
+    if not done and (pygame_data / "house_lo.wav").is_file():
+        fmt, samples = read_wav(str(pygame_data / "house_lo.wav"))
+        write_wav(str(d / "house8.wav"), samples, fmt.sampling_rate,
+                  fmt.bits_per_sample)
+        count += 1
+    if not count:
+        d.rmdir()
+    return count
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("corpus", nargs="?", help="directory of genre/WAV files")
@@ -235,6 +308,9 @@ def main():
     if args.synthetic or not args.corpus:
         corpus_dir = workdir / "corpus"
         synth_corpus(corpus_dir)
+        n_rec = recorded_corpus(corpus_dir)
+        if n_rec:
+            print(f"recorded genre: {n_rec} real tracks", file=sys.stderr)
     else:
         corpus_dir = pathlib.Path(args.corpus)
 
