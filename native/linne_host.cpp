@@ -281,6 +281,7 @@ inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
 }
 
 const int kPreemphShift = 5;
+const int kLog2NumUnitsBits = 3;  // wire width of the log2(num_units) field
 
 // Core compress-payload unpack with an arbitrary per-channel residual
 // stride, so the stream decoder can write straight into the output planes.
@@ -308,7 +309,8 @@ int64_t unpack_compress_core(
     for (int ch = 0; ch < nch; ch++) {
         int32_t* ccoef = coefs + ch * total_order;
         for (int l = 0; l < nlayers; l++) {
-            log2_units[ch * nlayers + l] = static_cast<int32_t>(r.get(3));
+            log2_units[ch * nlayers + l] =
+                static_cast<int32_t>(r.get(kLog2NumUnitsBits));
             rshifts[ch * nlayers + l] = static_cast<int32_t>(r.get(4));
             for (int i = 0; i < orders[l]; i++) {
                 int node = huff_root;
@@ -428,7 +430,8 @@ int64_t linne_pack_compress_payload(
     for (int ch = 0; ch < nch; ch++) {
         const int32_t* ccoef = coefs + ch * total_order;
         for (int l = 0; l < nlayers; l++) {
-            w.put(static_cast<uint32_t>(log2_units[ch * nlayers + l]), 3);
+            w.put(static_cast<uint32_t>(log2_units[ch * nlayers + l]),
+                  kLog2NumUnitsBits);
             w.put(static_cast<uint32_t>(rshifts[ch * nlayers + l]), 4);
             for (int i = 0; i < orders[l]; i++) {
                 uint32_t sym = zigzag_enc(*ccoef++) & 0xFF;
@@ -532,6 +535,46 @@ static void synth_unit_reg(int32_t* data, int n, const int32_t* coef,
     }
 }
 
+// Two independent equal-shape recurrences interleaved in one loop: each
+// stream's serial chain (imul+add+sar+sub, ~7 cycles/sample) hides the
+// other's latency. Measured per 500 block-channels of 10240 samples
+// (synthbench3, best of 5): npu=1 19.3->9.8 ms, npu=2 19.5->10.0 ms,
+// npu=4 24.9->16.3 ms; a wash at npu=8 and a register-pressure loss at
+// npu=16, so pairing is dispatched only for npu <= 4.
+template <int NPU>
+static void synth_unit_reg2(int32_t* dataA, int32_t* dataB, int n,
+                            const int32_t* coefA, const int32_t* coefB,
+                            int rshiftA, int rshiftB) {
+    // corrupt streams may carry rshift=0 (4-bit field); 1<<-1 is UB
+    int32_t halfA = rshiftA >= 1 ? (1 << (rshiftA - 1)) : 0;
+    int32_t halfB = rshiftB >= 1 ? (1 << (rshiftB - 1)) : 0;
+    int32_t cA[NPU], dA[NPU], cB[NPU], dB[NPU];
+    for (int j = 0; j < NPU; j++) {
+        cA[j] = coefA[j];
+        dA[j] = dataA[j];
+        cB[j] = coefB[j];
+        dB[j] = dataB[j];
+    }
+    int npred = n - NPU;
+    for (int t = 0; t < npred; t++) {
+        int32_t pA = halfA, pB = halfB;
+        for (int j = 0; j < NPU; j++) {
+            pA += cA[j] * dA[j];
+            pB += cB[j] * dB[j];
+        }
+        int32_t yA = dataA[t + NPU] - (pA >> rshiftA);
+        int32_t yB = dataB[t + NPU] - (pB >> rshiftB);
+        dataA[t + NPU] = yA;
+        dataB[t + NPU] = yB;
+        for (int j = 0; j < NPU - 1; j++) {
+            dA[j] = dA[j + 1];
+            dB[j] = dB[j + 1];
+        }
+        dA[NPU - 1] = yA;
+        dB[NPU - 1] = yB;
+    }
+}
+
 // Large-order recurrence, requires npu >= K: each K-output chunk first
 // accumulates FULL-length dots against the stale (pre-chunk) window — a
 // fixed-shape convolution the autovectorizer turns into clean K-lane
@@ -573,26 +616,80 @@ static void synth_unit_stale(int32_t* data, int n, const int32_t* coef,
     }
 }
 
-static void synth_layer(int32_t* data, int n, const int32_t* coef, int order,
-                        int rshift, int num_units) {
-    int npu = order / num_units;
-    int ns = n / num_units;
-    if (ns <= npu) return;
-    for (int u = 0; u < num_units; u++) {
-        int32_t* d = data + u * ns;
-        const int32_t* c = coef + u * npu;
-        // valid streams always have pow-2 npu (orders 2..128, pow-2 units);
-        // each shape gets the kernel that measured fastest (bench2, r3)
-        switch (npu) {
-            case 1: synth_unit_reg<1>(d, ns, c, rshift); break;
-            case 2: synth_unit_reg<2>(d, ns, c, rshift); break;
-            case 4: synth_unit_reg<4>(d, ns, c, rshift); break;
-            case 8: synth_unit_reg<8>(d, ns, c, rshift); break;
-            case 16: synth_unit_reg<16>(d, ns, c, rshift); break;
-            default:
-                if (npu >= 32) synth_unit_stale<16>(d, ns, c, npu, rshift);
-                else synth_unit_plain(d, ns, c, npu, rshift);
+// valid streams always have pow-2 npu (orders 2..128, pow-2 units);
+// each shape gets the kernel that measured fastest (bench2/bench3, r3)
+static void synth_unit_single(int32_t* d, int ns, const int32_t* c, int npu,
+                              int rshift) {
+    switch (npu) {
+        case 1: synth_unit_reg<1>(d, ns, c, rshift); break;
+        case 2: synth_unit_reg<2>(d, ns, c, rshift); break;
+        case 4: synth_unit_reg<4>(d, ns, c, rshift); break;
+        case 8: synth_unit_reg<8>(d, ns, c, rshift); break;
+        case 16: synth_unit_reg<16>(d, ns, c, rshift); break;
+        default:
+            if (npu >= 32) synth_unit_stale<16>(d, ns, c, npu, rshift);
+            else synth_unit_plain(d, ns, c, npu, rshift);
+    }
+}
+
+static void synth_unit_pair(int32_t* dA, int32_t* dB, int ns,
+                            const int32_t* cA, const int32_t* cB, int npu,
+                            int rA, int rB) {
+    switch (npu) {
+        case 1: synth_unit_reg2<1>(dA, dB, ns, cA, cB, rA, rB); break;
+        case 2: synth_unit_reg2<2>(dA, dB, ns, cA, cB, rA, rB); break;
+        default: synth_unit_reg2<4>(dA, dB, ns, cA, cB, rA, rB); break;
+    }
+}
+
+// One layer of the reversed cascade, all channels together (wire semantics
+// of linne_lpc_synthesize.c:8-83). Channels are independent until
+// de-emphasis, and units within a layer are independent by construction, so
+// every unit recurrence of every channel that picked the same unit split
+// (identical npu AND unit length) can be interleaved pairwise — covering
+// both the u>=2 within-channel case and the common stereo case where both
+// channels picked u=1 at a small-order layer.
+static void synth_layer_channels(int32_t* chdata, int64_t stride,
+                                 const int32_t* coefs, int32_t total_order,
+                                 int32_t coef_off, int n, int order,
+                                 const int32_t* log2_units,
+                                 const int32_t* rshifts, int nch,
+                                 int nlayers, int l) {
+    for (int lu = 0; lu < (1 << kLog2NumUnitsBits); lu++) {
+        int num_units = 1 << lu;
+        int npu = order / num_units;
+        int ns = n / num_units;
+        if (ns <= npu) continue;
+        // pairing only for the shapes where it measured faster; npu==0
+        // (corrupt unit counts exceeding the order) degrades to the plain
+        // loop exactly as before
+        bool pair = npu >= 1 && npu <= 4;
+        int32_t* pend_d = nullptr;
+        const int32_t* pend_c = nullptr;
+        int pend_r = 0;
+        for (int ch = 0; ch < nch; ch++) {
+            if (log2_units[ch * nlayers + l] != lu) continue;
+            int rshift = rshifts[ch * nlayers + l];
+            int32_t* dch = chdata + ch * stride;
+            const int32_t* cch = coefs + ch * total_order + coef_off;
+            for (int u = 0; u < num_units; u++) {
+                int32_t* d = dch + u * ns;
+                const int32_t* c = cch + u * npu;
+                if (!pair) {
+                    synth_unit_single(d, ns, c, npu, rshift);
+                } else if (pend_d == nullptr) {
+                    pend_d = d;
+                    pend_c = c;
+                    pend_r = rshift;
+                } else {
+                    synth_unit_pair(pend_d, d, ns, pend_c, c, npu, pend_r,
+                                    rshift);
+                    pend_d = nullptr;
+                }
+            }
         }
+        if (pend_d != nullptr)
+            synth_unit_single(pend_d, ns, pend_c, npu, pend_r);
     }
 }
 
@@ -609,16 +706,15 @@ static void synthesize_block_core(
     int32_t ms) {
     int32_t total_order = 0;
     for (int l = 0; l < nlayers; l++) total_order += orders[l];
+    // layer-major so same-shape unit recurrences pair across channels too
+    for (int l = nlayers - 1; l >= 0; l--) {
+        int32_t coef_off = 0;
+        for (int k = 0; k < l; k++) coef_off += orders[k];
+        synth_layer_channels(chdata, stride, coefs, total_order, coef_off, n,
+                             orders[l], log2_units, rshifts, nch, nlayers, l);
+    }
     for (int ch = 0; ch < nch; ch++) {
         int32_t* d = chdata + ch * stride;
-        const int32_t* base = coefs + ch * total_order;
-        for (int l = nlayers - 1; l >= 0; l--) {
-            const int32_t* c = base;
-            for (int k = 0; k < l; k++) c += orders[k];
-            synth_layer(d, n, c, orders[l],
-                        rshifts[ch * nlayers + l],
-                        1 << log2_units[ch * nlayers + l]);
-        }
         // de-emphasis: stage (nstages-1) inverse then ... stage 0 inverse.
         // The two-stage case (the format's constant) fuses into one pass:
         // stage s at time t needs only stage s+1's output at t plus its own
