@@ -214,3 +214,71 @@ def test_tpu_decoder_wide_row_fallback(monkeypatch, encoded):
     out = TpuDecoder().decode_whole(data)
     for c in range(2):
         assert np.array_equal(out[c], samples[c])
+
+
+def test_native_synthesis_vs_plain_oracle_shape_sweep():
+    """The native cascade pairs same-shape unit recurrences across units
+    AND channels (layer-major dispatch); sweep random (orders, per-channel
+    unit splits, nch) combos — including mixed splits and odd task counts —
+    against a straight python recurrence oracle."""
+    from linne_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+
+    def wrap32(v):
+        return (v + (1 << 31)) % (1 << 32) - (1 << 31)
+
+    def oracle_layer(d, coef, npu, rshift, num_units):
+        n = d.shape[0]
+        ns = n // num_units
+        if ns <= npu:
+            return
+        half = 1 << (rshift - 1) if rshift >= 1 else 0
+        for u in range(num_units):
+            seg = d[u * ns:(u + 1) * ns]
+            c = [int(x) for x in coef[u * npu:(u + 1) * npu]]
+            for t in range(ns - npu):
+                # int32 two's-complement wraparound exactly as the C
+                # (-fwrapv) — random filters are unstable, overflow is
+                # part of the contract
+                pred = half
+                for j in range(npu):
+                    pred = wrap32(pred + wrap32(c[j] * int(seg[t + j])))
+                seg[t + npu] = np.int32(
+                    wrap32(int(seg[t + npu]) - (pred >> rshift)))
+
+    for trial in range(6):
+        nch = int(rng.choice([1, 2, 3, 8]))
+        orders = [int(o) for o in rng.choice([2, 4, 8, 16], size=2)]
+        n = 512
+        nlayers = len(orders)
+        total_order = sum(orders)
+        data = rng.integers(-2000, 2000, (nch, n)).astype(np.int32)
+        coefs = rng.integers(-120, 120, (nch, total_order)).astype(np.int32)
+        # per-channel unit splits chosen independently: exercises the
+        # same-split cross-channel pairing AND the mixed-split grouping
+        log2u = np.empty((nch, nlayers), np.int32)
+        for ch in range(nch):
+            for l, o in enumerate(orders):
+                log2u[ch, l] = rng.integers(0, int(np.log2(o)) + 1)
+        rshifts = rng.integers(1, 14, (nch, nlayers)).astype(np.int32)
+
+        truth = data.copy()
+        for ch in range(nch):
+            off = total_order
+            for l in reversed(range(nlayers)):
+                off -= orders[l]
+                oracle_layer(truth[ch], coefs[ch][off:off + orders[l]],
+                             orders[l] // (1 << log2u[ch, l]),
+                             int(rshifts[ch, l]), 1 << log2u[ch, l])
+
+        got = data.copy()
+        native.lib().linne_synthesize_block(
+            got, np.ascontiguousarray(coefs),
+            np.ascontiguousarray(log2u), np.ascontiguousarray(rshifts),
+            np.zeros((nch, 2), np.int32), np.zeros((nch, 2), np.int32),
+            nch, n, nlayers, np.asarray(orders, np.int32), 2, 0)
+        assert np.array_equal(got, truth), (trial, nch, orders,
+                                            log2u.tolist())
