@@ -282,6 +282,7 @@ inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
 
 const int kPreemphShift = 5;
 const int kLog2NumUnitsBits = 3;  // wire width of the log2(num_units) field
+const int kMaxNumChannels = 8;    // format limit (linne.h MAX_NUM_CHANNELS)
 
 // Core compress-payload unpack with an arbitrary per-channel residual
 // stride, so the stream decoder can write straight into the output planes.
@@ -535,43 +536,37 @@ static void synth_unit_reg(int32_t* data, int n, const int32_t* coef,
     }
 }
 
-// Two independent equal-shape recurrences interleaved in one loop: each
+// W independent equal-shape recurrences interleaved in one loop: each
 // stream's serial chain (imul+add+sar+sub, ~7 cycles/sample) hides the
-// other's latency. Measured per 500 block-channels of 10240 samples
-// (synthbench3, best of 5): npu=1 19.3->9.8 ms, npu=2 19.5->10.0 ms,
-// npu=4 24.9->16.3 ms; a wash at npu=8 and a register-pressure loss at
-// npu=16, so pairing is dispatched only for npu <= 4.
-template <int NPU>
-static void synth_unit_reg2(int32_t* dataA, int32_t* dataB, int n,
-                            const int32_t* coefA, const int32_t* coefB,
-                            int rshiftA, int rshiftB) {
-    // corrupt streams may carry rshift=0 (4-bit field); 1<<-1 is UB
-    int32_t halfA = rshiftA >= 1 ? (1 << (rshiftA - 1)) : 0;
-    int32_t halfB = rshiftB >= 1 ? (1 << (rshiftB - 1)) : 0;
-    int32_t cA[NPU], dA[NPU], cB[NPU], dB[NPU];
-    for (int j = 0; j < NPU; j++) {
-        cA[j] = coefA[j];
-        dA[j] = dataA[j];
-        cB[j] = coefB[j];
-        dB[j] = dataB[j];
+// others' latency, and the j-outer/w-inner accumulation vectorizes across
+// the W lanes. Per 504 block-channels of 10240 samples vs the single-stream
+// reg kernel (synthbench5, best of 5, per-stream rshift): npu=1 19.3->3.3 ms
+// (W=6), npu=2 19.5->6.4 ms (W=4), npu=4 24.9->9.6 ms (W=2), npu=8
+// 32.1->15.4 ms (W=2), npu=16 61->31.2 ms (W=2).
+template <int NPU, int W>
+static void synth_unit_regW(int32_t** data, int n, const int32_t** coef,
+                            const int32_t* rshift) {
+    int32_t half[W], c[W][NPU], d[W][NPU];
+    for (int w = 0; w < W; w++) {
+        // corrupt streams may carry rshift=0 (4-bit field); 1<<-1 is UB
+        half[w] = rshift[w] >= 1 ? (1 << (rshift[w] - 1)) : 0;
+        for (int j = 0; j < NPU; j++) {
+            c[w][j] = coef[w][j];
+            d[w][j] = data[w][j];
+        }
     }
     int npred = n - NPU;
     for (int t = 0; t < npred; t++) {
-        int32_t pA = halfA, pB = halfB;
-        for (int j = 0; j < NPU; j++) {
-            pA += cA[j] * dA[j];
-            pB += cB[j] * dB[j];
+        int32_t p[W];
+        for (int w = 0; w < W; w++) p[w] = half[w];
+        for (int j = 0; j < NPU; j++)
+            for (int w = 0; w < W; w++) p[w] += c[w][j] * d[w][j];
+        for (int w = 0; w < W; w++) {
+            int32_t y = data[w][t + NPU] - (p[w] >> rshift[w]);
+            data[w][t + NPU] = y;
+            for (int j = 0; j < NPU - 1; j++) d[w][j] = d[w][j + 1];
+            d[w][NPU - 1] = y;
         }
-        int32_t yA = dataA[t + NPU] - (pA >> rshiftA);
-        int32_t yB = dataB[t + NPU] - (pB >> rshiftB);
-        dataA[t + NPU] = yA;
-        dataB[t + NPU] = yB;
-        for (int j = 0; j < NPU - 1; j++) {
-            dA[j] = dA[j + 1];
-            dB[j] = dB[j + 1];
-        }
-        dA[NPU - 1] = yA;
-        dB[NPU - 1] = yB;
     }
 }
 
@@ -632,64 +627,86 @@ static void synth_unit_single(int32_t* d, int ns, const int32_t* c, int npu,
     }
 }
 
-static void synth_unit_pair(int32_t* dA, int32_t* dB, int ns,
-                            const int32_t* cA, const int32_t* cB, int npu,
-                            int rA, int rB) {
+// Drain cnt same-shape independent unit recurrences in the widest lane
+// count that measured fastest for this npu, narrower for the remainder.
+static void synth_units_group(int32_t** d, const int32_t** c,
+                              const int32_t* r, int cnt, int ns, int npu) {
+    int i = 0;
     switch (npu) {
-        case 1: synth_unit_reg2<1>(dA, dB, ns, cA, cB, rA, rB); break;
-        case 2: synth_unit_reg2<2>(dA, dB, ns, cA, cB, rA, rB); break;
-        default: synth_unit_reg2<4>(dA, dB, ns, cA, cB, rA, rB); break;
+        case 1:
+            for (; i + 6 <= cnt; i += 6)
+                synth_unit_regW<1, 6>(d + i, ns, c + i, r + i);
+            for (; i + 4 <= cnt; i += 4)
+                synth_unit_regW<1, 4>(d + i, ns, c + i, r + i);
+            for (; i + 2 <= cnt; i += 2)
+                synth_unit_regW<1, 2>(d + i, ns, c + i, r + i);
+            break;
+        case 2:
+            for (; i + 4 <= cnt; i += 4)
+                synth_unit_regW<2, 4>(d + i, ns, c + i, r + i);
+            for (; i + 2 <= cnt; i += 2)
+                synth_unit_regW<2, 2>(d + i, ns, c + i, r + i);
+            break;
+        case 4:
+            for (; i + 2 <= cnt; i += 2)
+                synth_unit_regW<4, 2>(d + i, ns, c + i, r + i);
+            break;
+        case 8:
+            for (; i + 2 <= cnt; i += 2)
+                synth_unit_regW<8, 2>(d + i, ns, c + i, r + i);
+            break;
+        case 16:
+            for (; i + 2 <= cnt; i += 2)
+                synth_unit_regW<16, 2>(d + i, ns, c + i, r + i);
+            break;
+        default:
+            break;  // npu >= 32, npu == 0: singles only
     }
+    for (; i < cnt; i++) synth_unit_single(d[i], ns, c[i], npu, r[i]);
 }
 
 // One layer of the reversed cascade, all channels together (wire semantics
 // of linne_lpc_synthesize.c:8-83). Channels are independent until
 // de-emphasis, and units within a layer are independent by construction, so
 // every unit recurrence of every channel that picked the same unit split
-// (identical npu AND unit length) can be interleaved pairwise — covering
-// both the u>=2 within-channel case and the common stereo case where both
-// channels picked u=1 at a small-order layer.
+// (identical npu AND unit length) is collected and drained through the
+// W-lane interleaved kernel — covering both the u>=2 within-channel case
+// and the common stereo case where both channels picked the same split.
 static void synth_layer_channels(int32_t* chdata, int64_t stride,
                                  const int32_t* coefs, int32_t total_order,
                                  int32_t coef_off, int n, int order,
                                  const int32_t* log2_units,
                                  const int32_t* rshifts, int nch,
                                  int nlayers, int l) {
+    // capacity covers the format maximum (8 ch x 128 units); larger nch
+    // from an embedder just drains in full batches
+    constexpr int kCap = kMaxNumChannels * 128;
+    int32_t* task_d[kCap];
+    const int32_t* task_c[kCap];
+    int32_t task_r[kCap];
     for (int lu = 0; lu < (1 << kLog2NumUnitsBits); lu++) {
         int num_units = 1 << lu;
         int npu = order / num_units;
         int ns = n / num_units;
         if (ns <= npu) continue;
-        // pairing only for the shapes where it measured faster; npu==0
-        // (corrupt unit counts exceeding the order) degrades to the plain
-        // loop exactly as before
-        bool pair = npu >= 1 && npu <= 4;
-        int32_t* pend_d = nullptr;
-        const int32_t* pend_c = nullptr;
-        int pend_r = 0;
+        int cnt = 0;
         for (int ch = 0; ch < nch; ch++) {
             if (log2_units[ch * nlayers + l] != lu) continue;
             int rshift = rshifts[ch * nlayers + l];
             int32_t* dch = chdata + ch * stride;
             const int32_t* cch = coefs + ch * total_order + coef_off;
             for (int u = 0; u < num_units; u++) {
-                int32_t* d = dch + u * ns;
-                const int32_t* c = cch + u * npu;
-                if (!pair) {
-                    synth_unit_single(d, ns, c, npu, rshift);
-                } else if (pend_d == nullptr) {
-                    pend_d = d;
-                    pend_c = c;
-                    pend_r = rshift;
-                } else {
-                    synth_unit_pair(pend_d, d, ns, pend_c, c, npu, pend_r,
-                                    rshift);
-                    pend_d = nullptr;
+                if (cnt == kCap) {
+                    synth_units_group(task_d, task_c, task_r, cnt, ns, npu);
+                    cnt = 0;
                 }
+                task_d[cnt] = dch + u * ns;
+                task_c[cnt] = cch + u * npu;
+                task_r[cnt] = rshift;
+                cnt++;
             }
         }
-        if (pend_d != nullptr)
-            synth_unit_single(pend_d, ns, pend_c, npu, pend_r);
+        if (cnt) synth_units_group(task_d, task_c, task_r, cnt, ns, npu);
     }
 }
 
