@@ -243,13 +243,16 @@ inline uint32_t rice_get(BitReader& r, uint32_t k1, uint32_t k2) {
 }
 
 // Bulk Rice(k2+1, k2) symbol decode for one partition: tracks an absolute
-// bit position and rebuilds a left-aligned 57+-bit window with ONE unaligned
-// load+bswap per symbol — no staging-register bookkeeping, no refill
-// branches on the hot path (~3x the per-symbol rate of rice_get). Decodes
-// zigzag-mapped residuals straight into out[]; returns the number of symbols
-// done (the caller finishes the remainder — near buffer end or pathological
-// runs — through the generic path). Leaves r positioned after the last
-// decoded symbol.
+// bit position and drains a left-aligned 57+-bit window loaded with ONE
+// unaligned load+bswap — typically 3-5 symbols per load, so the serial
+// chain is clz -> shift in registers with no staging-register bookkeeping
+// or refill branches. A symbol whose zero run spans the window (transient
+// outlier) is resolved inline by walking the run across loads, so one
+// outlier no longer drops the partition remainder to the generic path.
+// Decodes zigzag-mapped residuals straight into out[]; returns the number
+// of symbols done (the caller finishes the remainder — only near the
+// buffer end — through the generic path). Leaves r positioned after the
+// last decoded symbol.
 inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
     int64_t bitpos = r.bit_position();
     const uint8_t* buf = r.buf;
@@ -257,24 +260,69 @@ inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
     const uint32_t k1 = k2 + 1;
     const uint32_t k1pow = 1u << k1;
     int s = 0;
-    for (; s < nsmpl; s++) {
+    while (s < nsmpl) {
         int64_t byte = bitpos >> 3;
-        if (byte > max_byte) break;
+        if (byte > max_byte) break;  // near buffer end: generic path
         uint64_t w;
         std::memcpy(&w, buf + byte, 8);
-        w = __builtin_bswap64(w) << (bitpos & 7);  // >= 57 valid bits
-        int q = __builtin_clzll(w | 1);
-        uint32_t k = q ? k2 : k1;
-        int need = q + 1 + static_cast<int>(k);
-        if (need > 57) break;  // run extends past the window: generic path
-        // ((.. >> (63-k)) >> 1) == >> (64-k) without the k==0 UB
-        uint32_t payload = static_cast<uint32_t>(
-            ((w << (q + 1)) >> (63 - static_cast<int>(k))) >> 1);
-        uint32_t uval = q ? payload + k1pow
-                                + ((static_cast<uint32_t>(q) - 1) << k2)
-                          : payload;
-        out[s] = zigzag_dec(uval);
-        bitpos += need;
+        int shift = static_cast<int>(bitpos & 7);
+        w = __builtin_bswap64(w) << shift;
+        int avail = 64 - shift;  // every loaded bit past the shift is valid
+        int used = 0;
+        while (s < nsmpl) {
+            int q = __builtin_clzll(w | 1);
+            uint32_t k = q ? k2 : k1;
+            int need = q + 1 + static_cast<int>(k);
+            if (used + need > avail) break;
+            // ((.. >> (63-k)) >> 1) == >> (64-k) without the k==0 UB
+            uint32_t payload = static_cast<uint32_t>(
+                ((w << (q + 1)) >> (63 - static_cast<int>(k))) >> 1);
+            uint32_t uval = q ? payload + k1pow
+                                    + ((static_cast<uint32_t>(q) - 1) << k2)
+                              : payload;
+            out[s++] = zigzag_dec(uval);
+            w <<= need;
+            used += need;
+        }
+        bitpos += used;
+        if (used == 0) {
+            // zero run spans the whole window: walk it across loads, then
+            // read terminator + payload positionally
+            int64_t p = bitpos;
+            int64_t q = 0;
+            for (;;) {
+                int64_t b2 = p >> 3;
+                if (b2 > max_byte) { r.seek_bit(bitpos); return s; }
+                uint64_t w2;
+                std::memcpy(&w2, buf + b2, 8);
+                int sh2 = static_cast<int>(p & 7);
+                w2 = __builtin_bswap64(w2) << sh2;
+                int av2 = 64 - sh2;
+                if (w2 == 0) { q += av2; p += av2; continue; }
+                int z = __builtin_clzll(w2);
+                q += z;
+                p += z + 1;
+                break;
+            }
+            uint32_t k = q ? k2 : k1;
+            uint32_t payload = 0;
+            if (k) {
+                int64_t b3 = p >> 3;
+                if (b3 > max_byte) { r.seek_bit(bitpos); return s; }
+                uint64_t w3;
+                std::memcpy(&w3, buf + b3, 8);
+                w3 = __builtin_bswap64(w3) << (p & 7);
+                payload = static_cast<uint32_t>(w3 >> (64 - k));
+            }
+            p += k;
+            // q is the true run length; the uint32 wrap on pathological
+            // (corrupt-stream) runs matches the generic path's behavior
+            uint32_t uval = q ? payload + k1pow
+                                    + ((static_cast<uint32_t>(q) - 1) << k2)
+                              : payload;
+            out[s++] = zigzag_dec(uval);
+            bitpos = p;
+        }
     }
     r.seek_bit(bitpos);
     return s;
