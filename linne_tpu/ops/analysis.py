@@ -133,7 +133,7 @@ def autocorrelation(x: jnp.ndarray, num_lags: int) -> jnp.ndarray:
         shifted = jax.lax.dynamic_slice_in_dim(xp, lag, n, axis=-1)
         return None, jnp.sum(x * shifted, axis=-1)
 
-    _, ac = jax.lax.scan(lag_step, None, jnp.arange(num_lags))
+    _, ac = jax.lax.scan(lag_step, None, jnp.arange(num_lags), unroll=4)
     # ac: [num_lags, ...batch] -> [...batch, num_lags]
     return jnp.moveaxis(ac, 0, -1)
 
@@ -175,7 +175,15 @@ def levinson_durbin(ac: jnp.ndarray, order: int, with_parcor: bool = False):
         a = a + gamma[..., None] * rev
         return (a, ek), -gamma
 
-    (a, _), neg_gammas = jax.lax.scan(step, (a0, ek0), jnp.arange(order))
+    # the recursion is overhead-bound on TPU (255 total steps across the
+    # unit-candidate sweep, tiny per-step arithmetic): unrolling folds 8
+    # steps per loop iteration, same op order / identical results.
+    # NOTE r3 negative result: a "flip-free" variant carrying padded
+    # [flip(a), zeros] / [zeros, a] shadows updated via dynamic_update_slice
+    # measured 73 ms of while time vs 12 ms for this form at order 128 —
+    # the tripled carry thrashes HBM exactly like the pooled-candidate scan.
+    (a, _), neg_gammas = jax.lax.scan(step, (a0, ek0), jnp.arange(order),
+                                      unroll=8)
     lpc = a[..., 1:]
     lpc = jnp.where(silent[..., None], 0.0, lpc)
     if with_parcor:
@@ -245,7 +253,7 @@ def unit_forward(
         return acc + coef * xj, None
 
     pred0 = jnp.zeros_like(signal)
-    pred, _ = jax.lax.scan(step, pred0, jnp.arange(npu))
+    pred, _ = jax.lax.scan(step, pred0, jnp.arange(npu), unroll=4)
     out = signal + pred
     return jnp.concatenate([signal[..., :1], out[..., 1:]], axis=-1)
 
@@ -437,7 +445,8 @@ def quantize_coefficients(coefs: jnp.ndarray, nbits: int = 8):
         return qerror, q.astype(jnp.int32)
 
     init = jnp.zeros(coefs.shape[:-1], dtype=coefs.dtype)
-    _, qs = jax.lax.scan(step, init, jnp.arange(order - 1, -1, -1))
+    _, qs = jax.lax.scan(step, init, jnp.arange(order - 1, -1, -1),
+                         unroll=8)
     int_coef = jnp.flip(jnp.moveaxis(qs, 0, -1), axis=-1)
     int_coef = jnp.where(is_zero[..., None], 0, int_coef)
     rshift = jnp.where(is_zero, nbits, rshift)

@@ -91,7 +91,7 @@ def _predict_fixed_units(
         return acc + cj * xj, None
 
     pred0 = jnp.broadcast_to(half, seg.shape[:-1] + (ns - npu,)).astype(jnp.int32)
-    pred, _ = jax.lax.scan(step, pred0, jnp.arange(npu))
+    pred, _ = jax.lax.scan(step, pred0, jnp.arange(npu), unroll=8)
     pred = pred >> rshift[..., None, None]
     out_seg = seg.at[..., npu:].add(pred)
     out = jnp.concatenate(
