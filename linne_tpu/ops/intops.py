@@ -55,9 +55,24 @@ def predict_cascade_layer(
 
     x: [..., n] int32 signal; coefs: [..., order] int32 (flat unit layout);
     log2_units: [...] int32; rshift: [...] int32. `unit_choices` is the
-    static list of possible unit counts; the per-batch choice selects among
-    precomputed variants (reference: linne_lpc_predict.c:7-38).
+    static list of possible unit counts (each divides both the layer order
+    and n). Computed as ONE dense full-order masked pass (the int analog of
+    the trainer's canonical layout, ops/training.py:_dense_layouts): the
+    row's order/u taps are gathered tail-aligned into a per-finest-segment
+    [u_max, order] filter, invalid ages zero, and the per-unit passthrough
+    zones (first order/u samples of every unit, linne_lpc_predict.c:15)
+    are masked after the fact. One scan of `order` steps replaces one scan
+    per unit-count variant (sum 2x the steps) plus the stacked select.
     """
+    if len(unit_choices) == 1:
+        return _predict_fixed_units(x, coefs, unit_choices[0], rshift)
+    n = x.shape[-1]
+    if all(n % u == 0 for u in unit_choices):
+        return _predict_dense(x, coefs, log2_units, rshift,
+                              max(unit_choices))
+    # ragged length (device-encoded tail whose choices came from the
+    # rounded analyze length): real unit boundaries (u * (n // u)) do not
+    # align with the finest grid, so compute per-variant and select
     variants = [
         _predict_fixed_units(x, coefs, u, rshift) for u in unit_choices
     ]
@@ -67,6 +82,47 @@ def predict_cascade_layer(
         [choice_map.get(1 << l, 0) for l in range(8)], dtype=jnp.int32)
     idx = lut[log2_units]
     return jnp.take_along_axis(stack, idx[None, ..., None], axis=0)[0]
+
+
+def _predict_dense(
+    x: jnp.ndarray, coefs: jnp.ndarray, log2u: jnp.ndarray,
+    rshift: jnp.ndarray, u_max: int,
+) -> jnp.ndarray:
+    n = x.shape[-1]
+    order = coefs.shape[-1]
+    ns_max = n // u_max  # caller guarantees u_max | n, so u_max*ns_max == n
+    batch = x.shape[:-1]
+    # dense coef gather: fine segment s belongs to real unit s*u//u_max;
+    # column j carries tap age k = order - j, valid iff k <= order/u
+    k = order - jnp.arange(order)  # [order]
+    s = jnp.arange(u_max)
+    u_r = (jnp.int32(1) << log2u)[..., None, None]
+    npu_r = jnp.right_shift(jnp.int32(order), log2u)[..., None, None]
+    unit = (s[None, None, :, None] * u_r) // u_max  # [.., u_max, 1]*
+    valid = k[None, None, None, :] <= npu_r
+    src = unit * npu_r + (npu_r - k[None, None, None, :])
+    flat = jnp.broadcast_to(coefs[..., None, :], batch + (u_max, order))
+    dense = jnp.where(valid,
+                      jnp.take_along_axis(flat, jnp.where(valid, src, 0),
+                                          axis=-1), 0)
+
+    half = jnp.int32(1) << (rshift - 1)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(order, 0)])
+
+    def step(acc, j):
+        xj = jax.lax.dynamic_slice_in_dim(xp, j, n, axis=-1)  # x[g-order+j]
+        cj = jax.lax.dynamic_slice_in_dim(dense, j, 1, axis=-1)[..., 0]
+        return acc + jnp.repeat(cj, ns_max, axis=-1) * xj, None
+
+    acc0 = jnp.broadcast_to(half[..., None], batch + (n,)).astype(jnp.int32)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(order), unroll=8)
+    pred = acc >> rshift[..., None]
+    # passthrough: the first order/u samples of every real unit
+    g = jnp.arange(n)
+    ns_r = jnp.right_shift(jnp.int32(n), log2u)[..., None]  # n >> l == n//u
+    offset = g - (g // ns_r) * ns_r
+    kept = offset >= npu_r[..., 0]
+    return x + jnp.where(kept, pred, 0)
 
 
 def _predict_fixed_units(

@@ -89,3 +89,66 @@ def test_encoder_lossless_on_matmul_routes(force_matmul):
     out = Decoder().decode_whole(data)
     for c in range(2):
         assert np.array_equal(out[c], s[c])
+
+
+def test_predict_dense_matches_unit_variants():
+    """The dense full-order masked integer predict (one pass) must be
+    bit-identical to computing every unit-count variant and selecting by
+    log2u (wire semantics: linne_lpc_predict.c:7-38)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from linne_tpu.ops import intops as I
+
+    rng = np.random.default_rng(3)
+    cases = [(128, 10240, [1, 2, 4, 8, 16, 32, 64, 128]),
+             (16, 1280, [1, 2, 4, 8, 16]),
+             (32, 640, [1, 2, 4, 8, 16, 32])]
+    for order, n, choices in cases:
+        B, C = 4, 2
+        x = jnp.asarray(
+            rng.integers(-2**28, 2**28, (B, C, n)).astype(np.int32))
+        coefs = jnp.asarray(
+            rng.integers(-128, 128, (B, C, order)).astype(np.int32))
+        lus = rng.choice([(u - 1).bit_length() for u in choices],
+                         size=(B, C))
+        log2u = jnp.asarray(lus.astype(np.int32))
+        rsh = jnp.asarray(rng.integers(1, 15, (B, C)).astype(np.int32))
+        variants = [I._predict_fixed_units(x, coefs, u, rsh)
+                    for u in choices]
+        stack = jnp.stack(variants, axis=0)
+        cm = {u: i for i, u in enumerate(choices)}
+        lut = jnp.asarray([cm.get(1 << l, 0) for l in range(8)], jnp.int32)
+        want = jnp.take_along_axis(
+            stack, lut[log2u][None, ..., None], axis=0)[0]
+        got = I._predict_dense(x, coefs, log2u, rsh, max(choices))
+        assert np.array_equal(np.asarray(want), np.asarray(got)), (order, n)
+
+
+def test_predict_cascade_ragged_tail_uses_variant_route():
+    """A ragged block length (device-encoded tail: choices derived from the
+    rounded analyze length do not all divide n) must still select among
+    per-variant predicts — the dense grid alignment does not hold there."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from linne_tpu.ops import intops as I
+
+    rng = np.random.default_rng(7)
+    order, n = 16, 777  # odd n: only u=1 divides, but choices say up to 16
+    choices = [1, 2, 4, 8, 16]
+    B, C = 3, 2
+    x = jnp.asarray(rng.integers(-2**20, 2**20, (B, C, n)).astype(np.int32))
+    coefs = jnp.asarray(
+        rng.integers(-128, 128, (B, C, order)).astype(np.int32))
+    lus = rng.choice([(u - 1).bit_length() for u in choices], size=(B, C))
+    log2u = jnp.asarray(lus.astype(np.int32))
+    rsh = jnp.asarray(rng.integers(1, 15, (B, C)).astype(np.int32))
+    got = I.predict_cascade_layer(x, coefs, log2u, rsh, choices)
+    variants = [I._predict_fixed_units(x, coefs, u, rsh) for u in choices]
+    stack = jnp.stack(variants, axis=0)
+    cm = {u: i for i, u in enumerate(choices)}
+    lut = jnp.asarray([cm.get(1 << l, 0) for l in range(8)], jnp.int32)
+    want = jnp.take_along_axis(
+        stack, lut[log2u][None, ..., None], axis=0)[0]
+    assert np.array_equal(np.asarray(want), np.asarray(got))
