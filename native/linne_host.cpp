@@ -273,7 +273,9 @@ inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
             int q = __builtin_clzll(w | 1);
             uint32_t k = q ? k2 : k1;
             int need = q + 1 + static_cast<int>(k);
-            if (used + need > avail) break;
+            // strict <: a symbol exactly filling the window would shift by
+            // 64 below (UB); it falls to the positional walk instead
+            if (used + need >= avail) break;
             // ((.. >> (63-k)) >> 1) == >> (64-k) without the k==0 UB
             uint32_t payload = static_cast<uint32_t>(
                 ((w << (q + 1)) >> (63 - static_cast<int>(k))) >> 1);

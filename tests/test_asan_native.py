@@ -113,6 +113,16 @@ for sig in (
     out = enc.encode_whole([sig, -sig], n)
     dec = Decoder().decode_whole(out)
     assert np.array_equal(dec[0], sig) and np.array_equal(dec[1], -sig)
+# equal-channel 8-bit nyquist: MS zeroes the side channel (k2=0), and the
+# mid residuals tile the decode window exactly — the shift-by-64 UB case
+ny = np.where(np.arange(5096) % 2 == 0, 127, -128).astype(np.int32)
+enc = ExactEncoder()
+enc.set_encode_parameter(EncodeParameter(
+    num_channels=2, bits_per_sample=8, sampling_rate=44100,
+    num_samples_per_block=10240, preset=0, ch_process_method=1))
+out = enc.encode_whole([ny, ny], 5096)
+dec = Decoder().decode_whole(out)
+assert np.array_equal(dec[0], ny) and np.array_equal(dec[1], ny)
 print("ok")
 """
     env = dict(os.environ)

@@ -281,3 +281,30 @@ def test_rice_run_extreme_quotients_and_buffer_edges():
         out = Decoder().decode_whole(data)
         for c in range(2):
             assert np.array_equal(out[c], sig[c])
+
+
+def test_rice_run_window_exact_fill_symbol():
+    """A symbol that exactly fills a fresh 64-bit decode window (63-bit
+    zero run + terminator at k2=0) once made the native drain loop shift a
+    uint64 by 64 — UB the optimizer exploited into a bogus stream error.
+    An 8-bit stereo Nyquist oscillation reproduces it: after MS the side
+    channel is all zeros (k2=0) and the mid residuals pack "10" pairs, so
+    runs land window-aligned. Sweep lengths to vary porder/alignment."""
+    import numpy as np
+
+    from linne_tpu.codec.decoder import Decoder
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    for n in (5090, 5096, 5102):
+        t = np.arange(n)
+        ch = np.where(t % 2 == 0, 127, -128).astype(np.int32)
+        sig = np.stack([ch, ch])
+        enc = ExactEncoder()
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=2, bits_per_sample=8, sampling_rate=44100,
+            num_samples_per_block=10240, preset=0, ch_process_method=1))
+        data = enc.encode_whole([sig[0], sig[1]], n)
+        out = Decoder().decode_whole(data)
+        for c in range(2):
+            assert np.array_equal(out[c], sig[c]), n
