@@ -59,3 +59,29 @@ def test_analysis_chain_runs_on_chip():
     blocks = jnp.asarray(rng.integers(-3000, 3000, (8, 2, n)), jnp.int16)
     out = fn(blocks)
     assert np.all(np.isfinite(_pull(out["packed"][..., :8])))
+
+
+def test_predict_dense_bit_equal_on_chip():
+    """The dense full-order masked integer predict must be bit-identical to
+    the per-unit-count variants on real hardware (int32 shifts/gathers take
+    different XLA:TPU lowerings than on CPU)."""
+    from linne_tpu.ops import intops as I
+
+    rng = np.random.default_rng(7)
+    order, n = 128, 2560
+    choices = [1, 2, 4, 8, 16, 32, 64, 128]
+    B, C = 4, 2
+    x = jnp.asarray(rng.integers(-(1 << 27), 1 << 27, (B, C, n)), jnp.int32)
+    coefs = jnp.asarray(rng.integers(-128, 128, (B, C, order)), jnp.int32)
+    lus = rng.choice([(u - 1).bit_length() for u in choices], size=(B, C))
+    log2u = jnp.asarray(lus.astype(np.int32))
+    rsh = jnp.asarray(rng.integers(1, 15, (B, C)).astype(np.int32))
+    got = _pull(jax.jit(
+        lambda *a: I._predict_dense(*a, u_max=max(choices)))(
+            x, coefs, log2u, rsh))
+    for u in choices:
+        want = _pull(jax.jit(
+            lambda xx, cc, rr, u=u: I._predict_fixed_units(xx, cc, u, rr)
+        )(x, coefs, rsh))
+        sel = lus == (u - 1).bit_length()
+        assert np.array_equal(got[sel], want[sel]), u
