@@ -82,11 +82,12 @@ def rice_search(
         # per-sample code lengths via a [parts, nsmpl] view + broadcast
         uv = u64.reshape(u64.shape[:-1] + (nparts, nsmpl))
         k2b = k2[..., None].astype(jnp.uint32)
-        k1b = k2b + 1
-        k1pow = (jnp.uint32(1) << k1b)
-        small = uv < k1pow
-        lens = jnp.where(
-            small, k1b + 1, k2b + 2 + ((uv - k1pow) >> k2b))
+        # len(u) = k2+2 + max(q-2, 0) with q = u >> k2: the small case
+        # (u < 2^(k2+1), i.e. q < 2) costs k1+1 = k2+2 bits, and the big
+        # case (u - 2^(k2+1)) >> k2 == q - 2 exactly — same integer values
+        # as the two-branch form, half the elementwise work
+        q = uv >> k2b
+        lens = k2b + 2 + jnp.where(q >= 2, q - 2, 0)
         bits = jnp.sum(lens.astype(jnp.uint32), axis=(-2, -1))
         # parameter header bits: 5 for the first k2, gamma(zigzag(delta))
         bits = bits + jnp.uint32(RICE_PARAMETER_BITS)

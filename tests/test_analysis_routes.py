@@ -152,3 +152,37 @@ def test_predict_cascade_ragged_tail_uses_variant_route():
     want = jnp.take_along_axis(
         stack, lut[log2u][None, ..., None], axis=0)[0]
     assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_device_rice_search_matches_host_search():
+    """ops.rice_search must pick the same partition order and per-partition
+    k2 as the exact host search (format.rice.choose_partition) — the wire
+    cost model is uint32-exact on both sides, so the argmin and MLE must
+    agree bit-for-bit, including at extreme magnitudes and all-zero planes
+    (reference: linne_coder.c:217-279)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from linne_tpu.format.rice import choose_partition
+    from linne_tpu.ops.rice_search import rice_search
+
+    rng = np.random.default_rng(21)
+    n = 5120
+    planes = [
+        np.zeros(n, np.int32),                                  # all zero
+        rng.integers(-3, 4, n).astype(np.int32),                # near-silent
+        rng.integers(-2**23, 2**23, n).astype(np.int32),        # hi-res loud
+        np.where(np.arange(n) % 512 == 0, 2**22, 0).astype(np.int32),
+        (rng.laplace(0, 80, n)).astype(np.int32),               # codec-like
+        np.where(np.arange(n) < n // 2, 0,
+                 rng.integers(-2**15, 2**15, n)).astype(np.int32),
+    ]
+    batch = jnp.asarray(np.stack(planes))
+    po_dev, k2_dev = rice_search(batch, jnp.float64)
+    po_dev = np.asarray(po_dev)
+    k2_dev = np.asarray(k2_dev)
+    for i, plane in enumerate(planes):
+        po_host, params = choose_partition(plane)
+        assert po_dev[i] == po_host, i
+        k2s_host = [k2 for (_, k2) in params]
+        assert k2_dev[i, : 1 << po_host].tolist() == k2s_host, i
