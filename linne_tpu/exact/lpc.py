@@ -28,6 +28,8 @@ from typing import Tuple
 
 import numpy as np
 
+from .. import native as _native
+
 from ..constants import FLT_EPSILON, FLT_MAX
 
 _FLT_MIN = float.fromhex("0x1p-126")
@@ -130,8 +132,13 @@ class LpcState:
 
     def autocorrelation(self, n: int, num_lags: int) -> None:
         """auto_corr[lag] = sum_{i} buffer[i] * buffer[i+lag], serial in i
-        (reference: lpc.c:215-249)."""
+        (reference: lpc.c:215-249). The native helper runs the identical
+        strict-order chains (fp contraction off) ~4x faster; equality is
+        pinned by tests/test_exact_native_helpers.py."""
         d = self.buffer[:n]
+        if _native.available():
+            self.auto_corr[:num_lags] = _native.exact_autocorr(d, num_lags)
+            return
         for lag in range(num_lags):
             prod = d[: n - lag] * d[lag:]
             self.auto_corr[lag] = _serial_sum(prod)

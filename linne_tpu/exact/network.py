@@ -23,6 +23,7 @@ from typing import List, Sequence
 
 import numpy as np
 
+from .. import native as _native
 from ..constants import FLT_MAX, LOG2_NUM_UNITS_BITWIDTH
 from .lpc import LpcState, WINDOW_WELCH, _serial_sum
 
@@ -48,9 +49,17 @@ def _unit_predictions(
     If include_base, accumulation starts from data[t] (the unit-search
     residual evaluation, linne_network.c:319-335); otherwise from 0.0 (the
     layer forward pass, linne_network.c:192-208). Returns the accumulated
-    vector of length n (entry 0 of unit 0 must be ignored by callers)."""
+    vector of length n (entry 0 of unit 0 must be ignored by callers).
+
+    The native helper runs the identical strict-order per-sample chains
+    (fp contraction off) without materializing the [n, npu+1] cumsum
+    matrix; equality is pinned by tests/test_exact_native_helpers.py."""
     npu = params.shape[0] // num_units
     ns = n // num_units
+    if n % num_units == 0 and _native.available():
+        return _native.exact_unit_predict(
+            np.ascontiguousarray(data[:n], np.float64), params, num_units,
+            npu, include_base)
     W = _sliding_matrix(data, n, npu)
     # per-sample filter: unit u covers rows [u*ns, (u+1)*ns)
     P = np.repeat(params.reshape(num_units, npu), ns, axis=0)

@@ -29,6 +29,7 @@ _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 _i16p = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -36,8 +37,11 @@ def _build() -> bool:
     if (_LIB_PATH.exists()
             and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime):
         return True
-    base = ["g++", "-O3", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
-            "-pthread"]
+    # -ffp-contract=off: the exact float64 helpers must round every product
+    # before adding (matching the numpy oracle); the helpers also carry a
+    # per-function attribute so differently-flagged builds stay exact
+    base = ["g++", "-O3", "-fwrapv", "-ffp-contract=off", "-fPIC",
+            "-shared", "-std=c++17", "-pthread"]
     # the library is always built on the machine it runs on, so tune for it;
     # fall back to generic codegen if the toolchain rejects -march=native
     for extra in (["-march=native"], []):
@@ -115,6 +119,17 @@ def _load():
         lib.linne_predict_layer.argtypes = [
             _i32p, _i32p, ctypes.c_int32, _i32p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
+        ]
+
+        lib.linne_exact_autocorr.restype = None
+        lib.linne_exact_autocorr.argtypes = [
+            _f64p, ctypes.c_int64, ctypes.c_int32, _f64p,
+        ]
+
+        lib.linne_exact_unit_predict.restype = None
+        lib.linne_exact_unit_predict.argtypes = [
+            _f64p, ctypes.c_int64, _f64p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, _f64p,
         ]
         _lib = lib
         return _lib
@@ -270,3 +285,27 @@ def synthesize_block(
         np.ascontiguousarray(preemph_coef, np.int32),
         nch, n, orders.shape[0], np.ascontiguousarray(orders, np.int32),
         2, int(ms))
+
+
+def exact_autocorr(x: np.ndarray, nlags: int) -> np.ndarray:
+    """Strict serial-order float64 autocorrelation (bit-identical to the
+    numpy mul-then-cumsum oracle, exact/lpc.py)."""
+    out = np.empty(nlags, dtype=np.float64)
+    lib().linne_exact_autocorr(
+        np.ascontiguousarray(x, np.float64), x.shape[0], nlags, out)
+    return out
+
+
+def exact_unit_predict(
+    x: np.ndarray, params: np.ndarray, num_units: int, npu: int,
+    include_base: bool,
+) -> np.ndarray:
+    """Strict serial-order per-sample unit-filter accumulation (bit-identical
+    to exact/network.py:_unit_predictions). Requires num_units | len(x)."""
+    n = x.shape[0]
+    out = np.empty(n, dtype=np.float64)
+    lib().linne_exact_unit_predict(
+        np.ascontiguousarray(x, np.float64), n,
+        np.ascontiguousarray(params, np.float64), num_units, npu,
+        int(include_base), out)
+    return out

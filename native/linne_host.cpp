@@ -1064,6 +1064,99 @@ void linne_unpack_bits(const uint32_t* words, int64_t nrows,
     }
 }
 
+// ---- exact float64 analysis helpers (the ExactEncoder hot loops) --------
+//
+// Strict left-to-right accumulation per output chain, matching the numpy
+// oracle's mul-then-cumsum evaluation (exact/lpc.py:_serial_sum): every
+// product is rounded BEFORE the add, so fp contraction must stay off —
+// enforced per-function with the optimize attribute so sanitizer/test
+// builds with other flag sets stay bit-identical too. Chains for different
+// outputs are independent, so blocks of 4 run together to hide the ~4-cycle
+// add latency; lanes never reorder adds within a chain.
+
+#define LINNE_EXACT_FP __attribute__((optimize("fp-contract=off")))
+
+// out[lag] = sum_i x[i] * x[i + lag], i serial, for lag in [0, nlags)
+// (oracle: exact/lpc.py:autocorrelation; reference: lpc.c:215-249).
+LINNE_EXACT_FP
+void linne_exact_autocorr(const double* x, int64_t n, int32_t nlags,
+                          double* out) {
+    int32_t lag = 0;
+    for (; lag + 4 <= nlags; lag += 4) {
+        double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+        int64_t common = n - (lag + 3);  // all four lags in range
+        if (common < 0) common = 0;
+        int64_t i = 0;
+        for (; i < common; i++) {
+            double xi = x[i];
+            a0 += xi * x[i + lag];
+            a1 += xi * x[i + lag + 1];
+            a2 += xi * x[i + lag + 2];
+            a3 += xi * x[i + lag + 3];
+        }
+        for (i = common; i < n - lag; i++) a0 += x[i] * x[i + lag];
+        for (i = common; i < n - (lag + 1); i++) a1 += x[i] * x[i + lag + 1];
+        for (i = common; i < n - (lag + 2); i++) a2 += x[i] * x[i + lag + 2];
+        out[lag] = a0; out[lag + 1] = a1; out[lag + 2] = a2;
+        out[lag + 3] = a3;
+    }
+    for (; lag < nlags; lag++) {
+        double a = 0.0;
+        for (int64_t i = 0; i < n - lag; i++) a += x[i] * x[i + lag];
+        out[lag] = a;
+    }
+}
+
+// out[t] = base_t + sum_j x[t - npu + j] * params[unit(t)*npu + j], j
+// serial, unit(t) = t / (n / num_units); x has implicit +0.0 left context
+// (the products against it are computed, preserving signed-zero behavior).
+// base_t = x[t] when include_base (unit-search scoring) else 0.0 (layer
+// forward). Oracle: exact/network.py:_unit_predictions; reference:
+// linne_network.c:165-210,319-335. Requires num_units | n (callers
+// guarantee; the python wrapper falls back otherwise).
+LINNE_EXACT_FP
+void linne_exact_unit_predict(const double* x, int64_t n,
+                              const double* params, int32_t num_units,
+                              int32_t npu, int32_t include_base,
+                              double* out) {
+    int64_t ns = n / num_units;
+    for (int32_t u = 0; u < num_units; u++) {
+        const double* p = params + (int64_t)u * npu;
+        int64_t t0 = (int64_t)u * ns, t1 = t0 + ns;
+        int64_t t = t0;
+        // left edge (unit 0 only): window reaches before x[0]
+        for (; t < t1 && t < npu; t++) {
+            double acc = include_base ? x[t] : 0.0;
+            for (int32_t j = 0; j < npu; j++) {
+                double xv = (t - npu + j) >= 0 ? x[t - npu + j] : 0.0;
+                acc += xv * p[j];
+            }
+            out[t] = acc;
+        }
+        for (; t + 4 <= t1; t += 4) {
+            const double* w = x + t - npu;
+            double a0 = include_base ? x[t] : 0.0;
+            double a1 = include_base ? x[t + 1] : 0.0;
+            double a2 = include_base ? x[t + 2] : 0.0;
+            double a3 = include_base ? x[t + 3] : 0.0;
+            for (int32_t j = 0; j < npu; j++) {
+                double pj = p[j];
+                a0 += w[j] * pj;
+                a1 += w[j + 1] * pj;
+                a2 += w[j + 2] * pj;
+                a3 += w[j + 3] * pj;
+            }
+            out[t] = a0; out[t + 1] = a1; out[t + 2] = a2; out[t + 3] = a3;
+        }
+        for (; t < t1; t++) {
+            const double* w = x + t - npu;
+            double acc = include_base ? x[t] : 0.0;
+            for (int32_t j = 0; j < npu; j++) acc += w[j] * p[j];
+            out[t] = acc;
+        }
+    }
+}
+
 // Encoder-side integer predict cascade for host use (tests/tools).
 void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
                          const int32_t* coef, int32_t order, int32_t rshift,

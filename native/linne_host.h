@@ -94,6 +94,20 @@ void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
                          const int32_t* coef, int32_t order, int32_t rshift,
                          int32_t num_units);
 
+/* Exact float64 analysis helpers: strict left-to-right accumulation per
+ * output (fp contraction disabled at the function level), bit-identical to
+ * the ExactEncoder's numpy oracles — see linne_host.cpp for the chain
+ * semantics. autocorr: out[lag] = serial sum_i x[i]*x[i+lag], lag < nlags.
+ * unit_predict: out[t] = (include_base ? x[t] : 0) + serial
+ * sum_j x[t-npu+j]*params[unit(t)*npu+j] with +0.0 left context; requires
+ * num_units | n. */
+void linne_exact_autocorr(const double* x, int64_t n, int32_t nlags,
+                          double* out);
+void linne_exact_unit_predict(const double* x, int64_t n,
+                              const double* params, int32_t num_units,
+                              int32_t npu, int32_t include_base,
+                              double* out);
+
 /* Unpack a W-bit two's-complement sample plane (the slim device->host
  * residual transfer) into int32 samples; rows are independent.
  *

@@ -1,0 +1,89 @@
+"""The native exact float64 helpers (linne_exact_autocorr /
+linne_exact_unit_predict) must be BIT-identical to the numpy oracles they
+replace — same left-to-right accumulation, every product rounded before the
+add (fp contraction off). Any deviation would silently break byte-exactness
+of the ExactEncoder, so this pins them directly; the golden/waveform-matrix
+suites pin the end-to-end result."""
+
+import numpy as np
+import pytest
+
+from linne_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _serial_sum_oracle(x):
+    acc = np.empty(x.shape[0] + 1, dtype=np.float64)
+    acc[0] = 0.0
+    acc[1:] = x
+    return float(np.cumsum(acc)[-1])
+
+
+def test_exact_autocorr_bit_identical():
+    rng = np.random.default_rng(3)
+    cases = [
+        (rng.normal(0, 0.3, 10240), 129),
+        (rng.normal(0, 1e-5, 1280), 17),
+        (rng.laplace(0, 2.0, 640), 5),
+        (np.zeros(256), 9),
+        (rng.normal(0, 0.3, 33), 33),   # nlags == n (ns = npu + 1 fits)
+        (rng.normal(0, 0.3, 34), 33),
+        (rng.normal(0, 0.3, 35), 33),   # tail-group edges
+        (np.where(np.arange(128) % 2 == 0, 1.0, -1.0), 13),
+    ]
+    for d, nlags in cases:
+        d = np.ascontiguousarray(d, np.float64)
+        got = native.exact_autocorr(d, nlags)
+        n = d.shape[0]
+        want = np.array([
+            _serial_sum_oracle(d[: n - lag] * d[lag:])
+            for lag in range(nlags)])
+        # bit equality, not allclose: the helper must reproduce the exact
+        # rounding sequence
+        assert np.array_equal(got, want), (n, nlags)
+
+
+def test_exact_unit_predict_bit_identical():
+    rng = np.random.default_rng(5)
+    for n, num_units, npu in [(10240, 1, 128), (10240, 4, 32),
+                              (10240, 128, 1), (1280, 8, 2),
+                              (640, 2, 16), (40, 4, 4),
+                              (36, 2, 16)]:  # ns barely > npu
+        if n // num_units <= npu:
+            continue
+        x = rng.normal(0, 0.5, n).astype(np.float64)
+        params = rng.normal(0, 0.2, num_units * npu).astype(np.float64)
+        for include_base in (False, True):
+            got = native.exact_unit_predict(
+                x, params, num_units, npu, include_base)
+            # numpy oracle (the pre-native formulation)
+            xp = np.concatenate([np.zeros(npu), x])
+            W = np.lib.stride_tricks.sliding_window_view(xp, npu)[:n]
+            ns = n // num_units
+            P = np.repeat(params.reshape(num_units, npu), ns, axis=0)
+            terms = W * P
+            base = x[:, None] if include_base else np.zeros((n, 1))
+            want = np.cumsum(
+                np.concatenate([base, terms], axis=1), axis=1)[:, -1]
+            assert np.array_equal(got, want), (n, num_units, npu,
+                                               include_base)
+
+
+def test_exact_unit_predict_signed_zero_context():
+    """The implicit left context multiplies as +0.0 (not skipped): an
+    all-zero signal with negative taps must keep the oracle's signed-zero
+    results bit-for-bit."""
+    n, num_units, npu = 64, 1, 8
+    x = np.zeros(n)
+    x[0] = -0.0
+    params = -np.abs(np.random.default_rng(9).normal(0, 1, npu))
+    got = native.exact_unit_predict(x, params, num_units, npu, False)
+    xp = np.concatenate([np.zeros(npu), x])
+    W = np.lib.stride_tricks.sliding_window_view(xp, npu)[:n]
+    want = np.cumsum(
+        np.concatenate([np.zeros((n, 1)), W * params[None, :]], axis=1),
+        axis=1)[:, -1]
+    assert np.array_equal(np.signbit(got), np.signbit(want))
+    assert np.array_equal(got, want)
