@@ -147,7 +147,14 @@ class LpcState:
 
     def levinson_durbin(self, order: int) -> None:
         """Run the recursion on self.auto_corr, writing lpc_coef[0:order]
-        and parcor_coef[0:order] (reference: lpc.c:252-324)."""
+        and parcor_coef[0:order] (reference: lpc.c:252-324). The native
+        helper runs the identical op sequence in place (same write extents,
+        preserving arena staleness); pinned by
+        tests/test_exact_native_helpers.py."""
+        if order <= 258 and _native.available():
+            _native.exact_levinson(self.auto_corr, order, FLT_EPSILON,
+                                   self.lpc_coef, self.parcor_coef)
+            return
         ac = self.auto_corr
         if abs(ac[0]) < FLT_EPSILON:
             self.lpc_coef[: order + 1] = 0.0

@@ -131,6 +131,11 @@ def _load():
             _f64p, ctypes.c_int64, _f64p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, _f64p,
         ]
+
+        lib.linne_exact_levinson.restype = None
+        lib.linne_exact_levinson.argtypes = [
+            _f64p, ctypes.c_int32, ctypes.c_double, _f64p, _f64p,
+        ]
         _lib = lib
         return _lib
 
@@ -309,3 +314,10 @@ def exact_unit_predict(
         np.ascontiguousarray(params, np.float64), num_units, npu,
         int(include_base), out)
     return out
+
+
+def exact_levinson(ac: np.ndarray, order: int, flt_eps: float,
+                   lpc_coef: np.ndarray, parcor_coef: np.ndarray) -> None:
+    """In-place strict-order Levinson-Durbin on the caller's arena arrays
+    (bit-identical to exact/lpc.py:levinson_durbin, same write extents)."""
+    lib().linne_exact_levinson(ac, order, flt_eps, lpc_coef, parcor_coef)

@@ -17,6 +17,7 @@
 // the header here makes any declaration/definition drift a compile error.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -1155,6 +1156,45 @@ void linne_exact_unit_predict(const double* x, int64_t n,
             out[t] = acc;
         }
     }
+}
+
+// Levinson-Durbin recursion with the oracle's exact operation order
+// (exact/lpc.py:levinson_durbin; reference: lpc.c:252-324). Writes
+// lpc_coef[0:order] and parcor_coef[0:order] on success; the degenerate
+// ac[0] path zeroes [0:order+1] of both — and nothing else is touched,
+// preserving the arena's stale-scratch semantics (the code-length
+// estimator deliberately reads parcor_coef[order]). flt_eps is the
+// caller's FLT_EPSILON constant so Python stays the single source.
+LINNE_EXACT_FP
+void linne_exact_levinson(const double* ac, int32_t order, double flt_eps,
+                          double* lpc_coef, double* parcor_coef) {
+    if (order + 2 > 260) return;  // scratch cap; wrapper falls back first
+    if (std::fabs(ac[0]) < flt_eps) {
+        for (int32_t i = 0; i <= order; i++) lpc_coef[i] = 0.0;
+        for (int32_t i = 0; i <= order; i++) parcor_coef[i] = 0.0;
+        return;
+    }
+    // order <= 128+1 in this codec; cap generously for embedders
+    double a[260], u[260], v[260];
+    for (int32_t i = 0; i < order + 2; i++) a[i] = u[i] = v[i] = 0.0;
+    a[0] = 1.0;
+    double ek = ac[0];
+    a[1] = -ac[1] / ac[0];
+    parcor_coef[0] = ac[1] / ek;
+    ek += ac[1] * a[1];
+    for (int32_t k = 1; k < order; k++) {
+        double gamma = 0.0;  // serial: sum_i a[i] * ac[k+1-i]
+        for (int32_t i = 0; i <= k; i++) gamma += a[i] * ac[k + 1 - i];
+        gamma /= -ek;
+        ek *= 1.0 - gamma * gamma;
+        for (int32_t i = 1; i <= k; i++) u[i] = a[i];
+        for (int32_t i = 1; i <= k; i++) v[i] = a[k + 1 - i];
+        u[0] = 1.0; u[k + 1] = 0.0;
+        v[0] = 0.0; v[k + 1] = 1.0;
+        for (int32_t i = 0; i <= k + 1; i++) a[i] = u[i] + gamma * v[i];
+        parcor_coef[k] = -gamma;
+    }
+    for (int32_t i = 0; i < order; i++) lpc_coef[i] = a[i + 1];
 }
 
 // Encoder-side integer predict cascade for host use (tests/tools).

@@ -108,6 +108,13 @@ void linne_exact_unit_predict(const double* x, int64_t n,
                               int32_t npu, int32_t include_base,
                               double* out);
 
+/* Levinson-Durbin with the oracle's exact op order: writes
+ * lpc_coef[0:order] and parcor_coef[0:order]; the degenerate |ac[0]| <
+ * flt_eps path zeroes [0:order+1] of both. order must be <= 258 (no-op
+ * beyond). */
+void linne_exact_levinson(const double* ac, int32_t order, double flt_eps,
+                          double* lpc_coef, double* parcor_coef);
+
 /* Unpack a W-bit two's-complement sample plane (the slim device->host
  * residual transfer) into int32 samples; rows are independent.
  *

@@ -87,3 +87,47 @@ def test_exact_unit_predict_signed_zero_context():
         axis=1)[:, -1]
     assert np.array_equal(np.signbit(got), np.signbit(want))
     assert np.array_equal(got, want)
+
+
+def test_exact_levinson_bit_identical():
+    """Native Levinson-Durbin must reproduce the python recursion bit-for-
+    bit, including write extents (arena staleness: entries past `order`
+    must keep their previous values — the code-length estimator reads one
+    past what the recursion wrote)."""
+    from linne_tpu.constants import FLT_EPSILON
+    from linne_tpu.exact import lpc as L
+
+    rng = np.random.default_rng(11)
+
+    def python_ld(ac, order, lpc_coef, parcor_coef):
+        st = L.LpcState(ac.shape[0] - 1, 16)
+        st.auto_corr[:] = ac
+        st.lpc_coef[:] = lpc_coef
+        st.parcor_coef[:] = parcor_coef
+        # force the pure-python branch
+        orig = L._native.available
+        L._native.available = lambda: False
+        try:
+            st.levinson_durbin(order)
+        finally:
+            L._native.available = orig
+        return st.lpc_coef.copy(), st.parcor_coef.copy()
+
+    for order in (1, 2, 4, 16, 32, 128):
+        # realistic decaying autocorrelation + a hostile random one
+        lags = np.arange(order + 2, dtype=np.float64)
+        acs = [
+            np.exp(-lags / 7.0) * (1.0 + 0.01 * rng.normal(0, 1, order + 2)),
+            rng.normal(0, 1, order + 2) * np.exp(-lags / 3.0),
+            np.zeros(order + 2),  # degenerate |ac[0]| < eps path
+        ]
+        for ac in acs:
+            stale = rng.normal(0, 9, order + 2)  # pre-existing arena junk
+            lpc_n = stale.copy()
+            par_n = stale[::-1].copy()
+            native.exact_levinson(np.ascontiguousarray(ac), order,
+                                  FLT_EPSILON, lpc_n, par_n)
+            lpc_p, par_p = python_ld(ac, order, stale.copy(),
+                                     stale[::-1].copy())
+            assert np.array_equal(lpc_n, lpc_p), (order, ac[:3])
+            assert np.array_equal(par_n, par_p), (order, ac[:3])
