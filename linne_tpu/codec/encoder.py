@@ -107,7 +107,8 @@ class TpuEncoder:
         `tail_mode`: how partial trailing blocks (length < num_samples_per_
         block) are encoded. Each DISTINCT tail length needs its own device
         compilation — ~4 minutes cold through the remote-TPU tunnel — while
-        the bit-exact host encoder handles one such block in 0.2-2.3 s.
+        the bit-exact host encoder handles one such block in 0.07-0.25 s
+        (native exact helpers, linne_host.cpp).
         "host" always uses the host encoder, "device" always compiles,
         "auto" (default) uses the host unless a compiled function for that
         length already exists. The rule depends only on tail length and
