@@ -53,6 +53,79 @@ def make_signal(num_samples: int, rate: int = 44100) -> np.ndarray:
     return np.clip(np.round(s * 0.6), -32768, 32767).astype(np.int32)
 
 
+def _device_responds(timeout_s: float = 240.0) -> bool:
+    """True if the TPU answers a trivial jit within the budget. The axon
+    tunnel can go fully DOWN for hours (2026-08-17), not just slow, and a
+    dead tunnel makes any device call block forever — which would hang the
+    whole bench and lose every metric. Probe from a daemon thread so a
+    stuck RPC can't wedge the process."""
+    import threading
+
+    done = []
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            float(jax.jit(lambda v: (v * 2).sum())(jnp.arange(16)))
+            done.append(True)
+        except Exception:
+            pass
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return bool(done)
+
+
+def _degraded_host_bench(rate: int, spb: int) -> None:
+    """TPU unreachable: emit the host-side decode metrics (which need no
+    device) over exact-encoder-produced streams, with the headline encode
+    metric explicitly zeroed and flagged. A partial artifact beats a hang."""
+    from linne_tpu.codec.decoder import Decoder
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    num_blocks = 64
+    n = spb * num_blocks
+    signal = make_signal(n, rate)
+    audio_seconds = n / rate
+    streams = {}
+    for mode in (0, 7):
+        enc = ExactEncoder()
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=2, bits_per_sample=16, sampling_rate=rate,
+            num_samples_per_block=spb, preset=mode, ch_process_method=1))
+        streams[mode] = enc.encode_whole([signal[0], signal[1]], n)
+    decs = {}
+    for mode, data in streams.items():
+        dec = Decoder()
+        out = dec.decode_whole(data)
+        assert all(np.array_equal(out[c], signal[c]) for c in range(2))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            dec.decode_whole(data)
+            ts.append(time.perf_counter() - t0)
+        decs[mode] = audio_seconds / min(ts)
+    msamp = 2 * n / 1e6
+    print(json.dumps({
+        "metric": "mode7_encode_realtime_x",
+        "value": 0.0,
+        "unit": "x_realtime",
+        "vs_baseline": 0.0,
+        "tpu_unreachable": True,
+        "decode_mode0_realtime_x": round(decs[0], 1),
+        "decode_mode0_vs_c_ref_hw": round(decs[0] / BASELINE_DECODE_X[0], 2),
+        "decode_mode7_realtime_x": round(decs[7], 1),
+        "decode_mode7_vs_c_ref_hw": round(decs[7] / BASELINE_DECODE_X[7], 2),
+        "decode_mode7_msamples_s": round(msamp * decs[7] / audio_seconds, 1),
+    }))
+    print("# TPU tunnel unreachable: encode metrics skipped, host decode "
+          "metrics only", file=sys.stderr)
+
+
 def main() -> None:
     import jax
 
@@ -63,6 +136,11 @@ def main() -> None:
 
     rate = 44100
     spb = 10240
+
+    if not _device_responds():
+        _degraded_host_bench(rate, spb)
+        return
+
     num_blocks = 256
     n = spb * num_blocks  # ~59.4 s of audio
     signal = make_signal(n, rate)
