@@ -31,6 +31,7 @@ from ..constants import (
     TRAINING_LOSS_EPSILON,
     TRAINING_MAX_NUM_ITERATIONS,
 )
+from .. import native as _native
 from ..codec.params import EncodeParameter, EncoderConfig, compress_viable
 from ..format.block import (
     CompressBlockSideInfo,
@@ -177,6 +178,40 @@ class ExactEncoder:
                     signal, n, all_coefs[ch][l], all_units[ch][l],
                     all_rshifts[ch][l])
             residuals.append(signal)
+
+        if _native.available():
+            # native emission: exact Rice search (bit-identical to
+            # format.rice.choose_partition) + the same native bit packer the
+            # production drain uses. Byte-equality with the python
+            # write_compress_payload is pinned by the golden suites and
+            # tests/test_exact_native_helpers.py.
+            from ..format.rice import _max_porder
+
+            orders = np.asarray(preset.layer_num_params, dtype=np.int32)
+            res = np.stack(residuals).astype(np.int32)
+            porders = np.empty(nch, dtype=np.int32)
+            k2s = np.zeros((nch, 1 << _max_porder(n)), dtype=np.int32)
+            for ch in range(nch):
+                po, k2 = _native.exact_rice_search(res[ch])
+                porders[ch] = po
+                k2s[ch, : k2.shape[0]] = k2
+            coefs_flat = np.stack([
+                np.concatenate(all_coefs[ch]).astype(np.int32)
+                for ch in range(nch)])
+            log2u = np.asarray(
+                [[(u - 1).bit_length() for u in row] for row in all_units],
+                dtype=np.int32)
+            rsh = np.asarray(all_rshifts, dtype=np.int32)
+            pprev = np.asarray(
+                [[pc[0] for pc in side.preemph[ch]] for ch in range(nch)],
+                dtype=np.int32)
+            pcoef = np.asarray(
+                [[pc[1] for pc in side.preemph[ch]] for ch in range(nch)],
+                dtype=np.int32)
+            return _native.pack_compress_payload(
+                res, coefs_flat, log2u, rsh, pprev, pcoef, porders, k2s,
+                self.codebook.codes_array, self.codebook.lens_array,
+                p.bits_per_sample, orders)
 
         return write_compress_payload(
             side, residuals, p.bits_per_sample, self.codebook)

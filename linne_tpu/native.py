@@ -136,6 +136,11 @@ def _load():
         lib.linne_exact_levinson.argtypes = [
             _f64p, ctypes.c_int32, ctypes.c_double, _f64p, _f64p,
         ]
+
+        lib.linne_exact_rice_search.restype = ctypes.c_int32
+        lib.linne_exact_rice_search.argtypes = [
+            _i32p, ctypes.c_int64, _i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -321,3 +326,12 @@ def exact_levinson(ac: np.ndarray, order: int, flt_eps: float,
     """In-place strict-order Levinson-Durbin on the caller's arena arrays
     (bit-identical to exact/lpc.py:levinson_durbin, same write extents)."""
     lib().linne_exact_levinson(ac, order, flt_eps, lpc_coef, parcor_coef)
+
+
+def exact_rice_search(residuals: np.ndarray):
+    """(porder, k2s[1 << porder]) for one int32 residual plane — exact
+    arithmetic of format/rice.py:choose_partition."""
+    k2s = np.empty(1024, dtype=np.int32)
+    porder = int(lib().linne_exact_rice_search(
+        np.ascontiguousarray(residuals, np.int32), residuals.shape[0], k2s))
+    return porder, k2s[: 1 << porder]

@@ -1197,6 +1197,114 @@ void linne_exact_levinson(const double* ac, int32_t order, double flt_eps,
     for (int32_t i = 0; i < order; i++) lpc_coef[i] = a[i + 1];
 }
 
+// Partitioned-Rice parameter search with the oracle's exact arithmetic
+// (format/rice.py:choose_partition; reference: linne_coder.c:217-279):
+// uint64 finest partition sums, float64 halving-merge means, libm log for
+// the MLE k2, exact per-sample code lengths accumulated mod 2^32, strict-<
+// first-minimum over ascending porder. Writes the winning per-partition k2
+// into k2s[0 : 1 << porder] and returns porder.
+LINNE_EXACT_FP
+int32_t linne_exact_rice_search(const int32_t* data, int64_t n,
+                                int32_t* k2s) {
+    // wire constants (format/rice.py): OPTX root and 5-bit parameter field.
+    // kLogOptx goes through the same libm log() the oracle's math.log uses,
+    // so the two paths share every bit of the constant.
+    static const double kLogOptx = std::log(
+        0.5127629514437670454896078808815218508243560791015625);
+    static const double kInvLoge2 = 1.4426950408889634;
+    int32_t max_porder = 0;
+    {
+        int32_t p = 1;
+        while ((n % (int64_t(1) << p)) == 0) p++;
+        max_porder = p - 1;
+        if (max_porder > 10) max_porder = 10;
+    }
+    const int32_t max_parts = 1 << max_porder;
+    const int64_t finest_ns = n / max_parts;
+
+    // zigzag once
+    std::vector<uint32_t> u(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; i++) u[i] = zigzag_enc(data[i]);
+
+    // finest sums (uint64, exact) -> float64 means, halving merges upward
+    std::vector<double> means[11];
+    {
+        std::vector<double>& m = means[max_porder];
+        m.resize(max_parts);
+        for (int32_t part = 0; part < max_parts; part++) {
+            uint64_t s = 0;
+            const uint32_t* pu = u.data() + part * finest_ns;
+            for (int64_t i = 0; i < finest_ns; i++) s += pu[i];
+            m[part] = static_cast<double>(s) / static_cast<double>(finest_ns);
+        }
+        for (int32_t p = max_porder - 1; p >= 0; p--) {
+            std::vector<double>& up = means[p + 1];
+            means[p].resize(size_t(1) << p);
+            for (size_t i = 0; i < means[p].size(); i++)
+                means[p][i] = (up[2 * i] + up[2 * i + 1]) / 2.0;
+        }
+    }
+
+    int32_t best_porder = 0;
+    uint32_t min_bits = 0xFFFFFFFFu;
+    std::vector<int32_t> k2_best, k2_cur;
+    for (int32_t porder = 0; porder <= max_porder; porder++) {
+        const int64_t nsmpl = n >> porder;
+        uint32_t bits = 0;
+        int32_t prevk2 = 0;
+        const int32_t nparts = 1 << porder;
+        k2_cur.resize(nparts);
+        for (int32_t part = 0; part < nparts; part++) {
+            double mean = means[porder][part];
+            // optimal_rice_params (format/rice.py:38-53)
+            int32_t k2;
+            double rho = 1.0 / (1.0 + mean);
+            double omr = 1.0 - rho;
+            if (omr <= 0.0) {
+                k2 = 0;
+            } else {
+                double ratio = kLogOptx / std::log(omr);
+                if (ratio <= 0.0) {
+                    k2 = 0;
+                } else {
+                    double k2f = std::floor(std::log(ratio) * kInvLoge2);
+                    k2 = k2f < 0.0 ? 0 : static_cast<int32_t>(k2f);
+                }
+            }
+            k2_cur[part] = k2;
+            const uint32_t k1 = static_cast<uint32_t>(k2) + 1;
+            const uint64_t k1pow = uint64_t(1) << k1;
+            uint64_t total = 0;
+            const uint32_t* pu = u.data() + part * nsmpl;
+            for (int64_t i = 0; i < nsmpl; i++) {
+                uint64_t v = pu[i];
+                total += (v < k1pow) ? (k1 + 1)
+                                     : (((v - k1pow) >> k2) + (k2 + 2));
+            }
+            bits += static_cast<uint32_t>(total);
+            if (part == 0) {
+                bits += 5;  // RICE_PARAMETER_BITS
+            } else {
+                int32_t delta = k2 - prevk2;
+                uint32_t zz = (static_cast<uint32_t>(delta) << 1) ^
+                              static_cast<uint32_t>(delta >> 31);
+                // gamma bits: 1 for 0, else 2*bit_length(zz+1) - 1
+                bits += (zz == 0)
+                    ? 1u
+                    : (2u * (32 - __builtin_clz(zz + 1)) - 1u);
+            }
+            prevk2 = k2;
+        }
+        if (min_bits > bits) {
+            min_bits = bits;
+            best_porder = porder;
+            k2_best = k2_cur;
+        }
+    }
+    for (size_t i = 0; i < k2_best.size(); i++) k2s[i] = k2_best[i];
+    return best_porder;
+}
+
 // Encoder-side integer predict cascade for host use (tests/tools).
 void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
                          const int32_t* coef, int32_t order, int32_t rshift,

@@ -108,6 +108,12 @@ void linne_exact_unit_predict(const double* x, int64_t n,
                               int32_t npu, int32_t include_base,
                               double* out);
 
+/* Partitioned-Rice parameter search (exact arithmetic of the encoder's
+ * search): writes the winning per-partition k2 into k2s[0 : 1 << porder]
+ * (caller provides room for 1024) and returns the winning porder. */
+int32_t linne_exact_rice_search(const int32_t* data, int64_t n,
+                                int32_t* k2s);
+
 /* Levinson-Durbin with the oracle's exact op order: writes
  * lpc_coef[0:order] and parcor_coef[0:order]; the degenerate |ac[0]| <
  * flt_eps path zeroes [0:order+1] of both. order must be <= 258 (no-op

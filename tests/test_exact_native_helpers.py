@@ -131,3 +131,61 @@ def test_exact_levinson_bit_identical():
                                      stale[::-1].copy())
             assert np.array_equal(lpc_n, lpc_p), (order, ac[:3])
             assert np.array_equal(par_n, par_p), (order, ac[:3])
+
+
+def test_exact_rice_search_matches_python():
+    from linne_tpu.format.rice import choose_partition
+
+    rng = np.random.default_rng(17)
+    n = 5120
+    planes = [
+        np.zeros(n, np.int32),
+        rng.integers(-3, 4, n).astype(np.int32),
+        rng.integers(-2**23, 2**23, n).astype(np.int32),
+        np.where(np.arange(n) % 512 == 0, 2**22, 0).astype(np.int32),
+        rng.laplace(0, 80, n).astype(np.int32),
+        rng.laplace(0, 80, 777).astype(np.int32),   # odd n: porder 0 only
+        rng.laplace(0, 80, 2048).astype(np.int32),  # deep partition grid
+    ]
+    for plane in planes:
+        po_n, k2_n = native.exact_rice_search(plane)
+        po_p, params = choose_partition(plane)
+        assert po_n == po_p
+        assert k2_n.tolist() == [k2 for (_, k2) in params]
+
+
+def test_exact_encoder_native_payload_matches_python_payload():
+    """The native-emission branch of ExactEncoder must produce the same
+    bytes as the pure-python write_compress_payload branch."""
+    import subprocess
+    import sys
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    code = """
+import sys, numpy as np
+sys.path.insert(0, {repo!r})
+from linne_tpu.exact.encoder import ExactEncoder
+from linne_tpu.codec.params import EncodeParameter
+rng = np.random.default_rng(23)
+n = 5096
+sig = (900*np.sin(np.arange(n)*0.013) + rng.normal(0,160,n)).astype(np.int32)
+sig2 = (800*np.sin(np.arange(n)*0.017) + rng.normal(0,150,n)).astype(np.int32)
+out = b''
+for preset in (0, 7):
+    enc = ExactEncoder()
+    enc.set_encode_parameter(EncodeParameter(num_channels=2,
+        bits_per_sample=16, sampling_rate=44100, preset=preset,
+        ch_process_method=1))
+    out += enc.encode_whole([sig, sig2], n)
+sys.stdout.buffer.write(out)
+""".format(repo=str(repo))
+    import os
+    env = dict(os.environ)
+    env.pop("LINNE_NO_NATIVE", None)
+    with_native = subprocess.run([sys.executable, "-c", code], env=env,
+                                 capture_output=True, check=True).stdout
+    env["LINNE_NO_NATIVE"] = "1"
+    without = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, check=True).stdout
+    assert with_native == without and len(with_native) > 100
