@@ -282,3 +282,36 @@ def test_native_synthesis_vs_plain_oracle_shape_sweep():
             nch, n, nlayers, np.asarray(orders, np.int32), 2, 0)
         assert np.array_equal(got, truth), (trial, nch, orders,
                                             log2u.tolist())
+
+
+def test_exact_encode_path_is_jax_free(tmp_path):
+    """With the native exact helpers the --exact encoder is fast enough to
+    be the no-accelerator deployment story: encoding through the CLI's
+    --exact path (plus decode of the result) must not pull jax."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; "
+        f"sys.path.insert(0, {str(REPO_ROOT)!r}); "
+        "import numpy as np; "
+        "from linne_tpu.io.wav import write_wav, read_wav; "
+        "from linne_tpu import cli; "
+        "rng = np.random.default_rng(4); "
+        "s = np.clip(rng.normal(0, 2000, (2, 23000)), -32768, 32767)"
+        ".astype(np.int32); "
+        "write_wav('in.wav', s, 44100, 16); "
+        "cli.main(['-e', '-m', '7', '--exact', 'in.wav', 'out.lnn']); "
+        "cli.main(['-d', 'out.lnn', 'rt.wav']); "
+        "_, s2 = read_wav('rt.wav'); "
+        "assert np.array_equal(s, s2); "
+        "assert 'jax' not in sys.modules, 'exact encode path imported jax'; "
+        "print('ok')")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "PYTHONSTARTUP")}  # no sitecustomize
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, env=env,
+                       cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().endswith("ok")
