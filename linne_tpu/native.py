@@ -141,6 +141,17 @@ def _load():
         lib.linne_exact_rice_search.argtypes = [
             _i32p, ctypes.c_int64, _i32p,
         ]
+
+        lib.linne_exact_af_normal.restype = None
+        lib.linne_exact_af_normal.argtypes = [
+            _f64p, ctypes.c_int64, _f64p, ctypes.c_int32, ctypes.c_double,
+            _f64p, _f64p, _f64p,
+        ]
+
+        lib.linne_exact_cholesky_solve.restype = ctypes.c_int32
+        lib.linne_exact_cholesky_solve.argtypes = [
+            _f64p, _f64p, ctypes.c_int32, _f64p,
+        ]
         _lib = lib
         return _lib
 
@@ -335,3 +346,26 @@ def exact_rice_search(residuals: np.ndarray):
     porder = int(lib().linne_exact_rice_search(
         np.ascontiguousarray(residuals, np.int32), residuals.shape[0], k2s))
     return porder, k2s[: 1 << porder]
+
+
+def exact_af_normal(data: np.ndarray, n: int, a: np.ndarray, order: int,
+                    eps: float):
+    """(r_mat, r_vec, raw_obj) of the IRLS normal equations — exact
+    arithmetic of exact/lpc.py:_af_matrix_and_vector (obj undivided)."""
+    r_mat = np.empty((order, order), dtype=np.float64)
+    r_vec = np.empty(order, dtype=np.float64)
+    obj = np.empty(1, dtype=np.float64)
+    lib().linne_exact_af_normal(
+        np.ascontiguousarray(data[:n], np.float64), n,
+        np.ascontiguousarray(a, np.float64), order, eps, r_mat, r_vec, obj)
+    return r_mat, r_vec, float(obj[0])
+
+
+def exact_cholesky_solve(amat: np.ndarray, bvec: np.ndarray):
+    """In-place Cholesky solve (mutates amat like the oracle); returns the
+    solution vector or None on a non-positive pivot."""
+    dim = amat.shape[0]
+    x = np.empty(dim, dtype=np.float64)
+    st = lib().linne_exact_cholesky_solve(
+        amat, np.ascontiguousarray(bvec, np.float64), dim, x)
+    return None if st else x

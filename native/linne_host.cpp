@@ -1197,6 +1197,102 @@ void linne_exact_levinson(const double* ac, int32_t order, double flt_eps,
     for (int32_t i = 0; i < order; i++) lpc_coef[i] = a[i + 1];
 }
 
+// IRLS (auxiliary-function) normal equations with the oracle's exact
+// arithmetic (exact/lpc.py:_af_matrix_and_vector; reference:
+// lpc.c:452-509): X[t,i] = data[order+t-1-i]; residual[t] =
+// |data[order+t] + serial_i a[i]*X[t,i]|; obj = serial_t residual;
+// inv[t] = 1/max(residual, eps); r_vec[i] = -serial_t (d*xi)*inv;
+// r_mat[i][j] = serial_t (xi*xj)*inv (two rounded multiplies per term).
+// Chains run serially over their own accumulation axis; independent
+// outputs run 4-wide to hide add latency.
+LINNE_EXACT_FP
+void linne_exact_af_normal(const double* data, int64_t n, const double* a,
+                           int32_t order, double eps, double* r_mat,
+                           double* r_vec, double* obj) {
+    const int64_t nres = n - order;
+    const double* d = data + order;
+    std::vector<double> inv(static_cast<size_t>(nres));
+    double ob = 0.0;
+    for (int64_t t = 0; t < nres; t++) {
+        const double* w = data + order + t - 1;  // w[-i] = X[t, i]
+        double acc = d[t];
+        for (int32_t i = 0; i < order; i++) acc += a[i] * w[-i];
+        double r = std::fabs(acc);
+        ob += r;
+        // np.maximum semantics: NaN propagates (r < eps is false for NaN)
+        inv[t] = 1.0 / (r < eps ? eps : r);
+    }
+    *obj = ob;
+    for (int32_t i = 0; i < order; i++) {
+        const double* xi = data + order - 1 - i;
+        double v = 0.0;
+        for (int64_t t = 0; t < nres; t++) v += (d[t] * xi[t]) * inv[t];
+        r_vec[i] = -v;
+        int32_t j = i;
+        for (; j + 4 <= order; j += 4) {
+            const double* x0 = data + order - 1 - j;
+            double s0 = 0.0, s1 = 0.0, s2 = 0.0, s3 = 0.0;
+            for (int64_t t = 0; t < nres; t++) {
+                double xit = xi[t];
+                double it = inv[t];
+                s0 += (xit * x0[t]) * it;
+                s1 += (xit * x0[t - 1]) * it;
+                s2 += (xit * x0[t - 2]) * it;
+                s3 += (xit * x0[t - 3]) * it;
+            }
+            r_mat[i * order + j] = s0;
+            r_mat[i * order + j + 1] = s1;
+            r_mat[i * order + j + 2] = s2;
+            r_mat[i * order + j + 3] = s3;
+        }
+        for (; j < order; j++) {
+            const double* xj = data + order - 1 - j;
+            double s = 0.0;
+            for (int64_t t = 0; t < nres; t++) s += (xi[t] * xj[t]) * inv[t];
+            r_mat[i * order + j] = s;
+        }
+    }
+    for (int32_t i = 0; i < order; i++)
+        for (int32_t j = i + 1; j < order; j++)
+            r_mat[j * order + i] = r_mat[i * order + j];
+}
+
+// In-place Cholesky solve with the oracle's exact order (exact/lpc.py:
+// _cholesky_solve; reference: lpc.c:402-448): descending-k inner
+// subtractions, pow(sum, -0.5) diagonal. A is row-major [dim, dim],
+// mutated like the oracle. Returns 0, or -1 on a non-positive pivot.
+LINNE_EXACT_FP
+int32_t linne_exact_cholesky_solve(double* A, const double* b, int32_t dim,
+                                   double* x) {
+    std::vector<double> inv_diag(static_cast<size_t>(dim));
+    for (int32_t i = 0; i < dim; i++) {
+        double* Ai = A + static_cast<int64_t>(i) * dim;
+        double s = Ai[i];
+        for (int32_t k = i - 1; k >= 0; k--) s -= Ai[k] * Ai[k];
+        if (s <= 0.0) return -1;
+        inv_diag[i] = std::pow(s, -0.5);
+        for (int32_t j = i + 1; j < dim; j++) {
+            double* Aj = A + static_cast<int64_t>(j) * dim;
+            double s2 = Ai[j];
+            for (int32_t k = i - 1; k >= 0; k--) s2 -= Ai[k] * Aj[k];
+            Aj[i] = s2 * inv_diag[i];
+        }
+    }
+    for (int32_t i = 0; i < dim; i++) {
+        const double* Ai = A + static_cast<int64_t>(i) * dim;
+        double s = b[i];
+        for (int32_t k = i - 1; k >= 0; k--) s -= Ai[k] * x[k];
+        x[i] = s * inv_diag[i];
+    }
+    for (int32_t i = dim - 1; i >= 0; i--) {
+        double s = x[i];
+        for (int32_t k = i + 1; k < dim; k++)
+            s -= A[static_cast<int64_t>(k) * dim + i] * x[k];
+        x[i] = s * inv_diag[i];
+    }
+    return 0;
+}
+
 // Partitioned-Rice parameter search with the oracle's exact arithmetic
 // (format/rice.py:choose_partition; reference: linne_coder.c:217-279):
 // uint64 finest partition sums, float64 halving-merge means, libm log for

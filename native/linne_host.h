@@ -108,6 +108,16 @@ void linne_exact_unit_predict(const double* x, int64_t n,
                               int32_t npu, int32_t include_base,
                               double* out);
 
+/* IRLS normal equations + in-place Cholesky solve with the exact
+ * accumulation order of the encoder's auxiliary-function method. obj
+ * receives the raw (undivided) serial residual sum; cholesky returns 0 or
+ * -1 on a non-positive pivot. */
+void linne_exact_af_normal(const double* data, int64_t n, const double* a,
+                           int32_t order, double eps, double* r_mat,
+                           double* r_vec, double* obj);
+int32_t linne_exact_cholesky_solve(double* A, const double* b, int32_t dim,
+                                   double* x);
+
 /* Partitioned-Rice parameter search (exact arithmetic of the encoder's
  * search): writes the winning per-partition k2 into k2s[0 : 1 << porder]
  * (caller provides room for 1024) and returns the winning porder. */

@@ -189,3 +189,31 @@ sys.stdout.buffer.write(out)
     without = subprocess.run([sys.executable, "-c", code], env=env,
                              capture_output=True, check=True).stdout
     assert with_native == without and len(with_native) > 100
+
+
+def test_exact_af_normal_and_cholesky_bit_identical():
+    from linne_tpu.exact import lpc as L
+
+    rng = np.random.default_rng(29)
+    for n, order in [(10240, 128), (1280, 16), (640, 4), (132, 128)]:
+        data = rng.normal(0, 0.4, n).astype(np.float64)
+        a = rng.normal(0, 0.1, order).astype(np.float64)
+        got_mat, got_vec, got_obj = L._af_matrix_and_vector(
+            data, n, a, order)
+        orig = L._native.available
+        L._native.available = lambda: False
+        try:
+            want_mat, want_vec, want_obj = L._af_matrix_and_vector(
+                data, n, a, order)
+            # cholesky: python path on a COPY of the python matrix
+            want_x = L._cholesky_solve(want_mat.copy(), want_vec)
+        finally:
+            L._native.available = orig
+        assert np.array_equal(got_mat, want_mat), (n, order)
+        assert np.array_equal(got_vec, want_vec), (n, order)
+        assert got_obj == want_obj, (n, order)
+        got_x = L._cholesky_solve(got_mat.copy(), got_vec)
+        assert np.array_equal(got_x, want_x), (n, order)
+    # singular path: all-zero input -> non-positive pivot -> None
+    zmat = np.zeros((4, 4))
+    assert L._cholesky_solve(zmat.copy(), np.zeros(4)) is None
