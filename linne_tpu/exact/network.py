@@ -93,10 +93,17 @@ class LayerState:
 
     def backward(self, data: np.ndarray, n: int) -> None:
         """Computes dparams and replaces `data` with the input gradient
-        (linne_network.c:213-265)."""
+        (linne_network.c:213-265). Native helper: identical chains, ~20x;
+        pinned by tests/test_exact_native_helpers.py."""
         self.dout[:n] = data[:n]
         npu = self.num_params // self.num_units
         ns = n // self.num_units
+        if n % self.num_units == 0 and data[:n].flags.c_contiguous \
+                and _native.available():
+            _native.exact_layer_backward(
+                self.din[:n], self.dout[:n], data[:n], self.params,
+                self.num_units, npu, n, self.dparams)
+            return
         for unit in range(self.num_units):
             pin = self.din[unit * ns : (unit + 1) * ns]
             pout = self.dout[unit * ns : (unit + 1) * ns]

@@ -152,6 +152,12 @@ def _load():
         lib.linne_exact_cholesky_solve.argtypes = [
             _f64p, _f64p, ctypes.c_int32, _f64p,
         ]
+
+        lib.linne_exact_layer_backward.restype = None
+        lib.linne_exact_layer_backward.argtypes = [
+            _f64p, _f64p, _f64p, _f64p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, _f64p,
+        ]
         _lib = lib
         return _lib
 
@@ -369,3 +375,13 @@ def exact_cholesky_solve(amat: np.ndarray, bvec: np.ndarray):
     st = lib().linne_exact_cholesky_solve(
         amat, np.ascontiguousarray(bvec, np.float64), dim, x)
     return None if st else x
+
+
+def exact_layer_backward(din: np.ndarray, dout: np.ndarray,
+                         grad_inout: np.ndarray, params: np.ndarray,
+                         num_units: int, npu: int, n: int,
+                         dparams: np.ndarray) -> None:
+    """Trainer layer backward, bit-identical to the oracle's chains
+    (exact/network.py:LayerState.backward). Mutates grad_inout/dparams."""
+    lib().linne_exact_layer_backward(
+        din, dout, grad_inout, params, num_units, npu, n, dparams)

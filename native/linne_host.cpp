@@ -1293,6 +1293,73 @@ int32_t linne_exact_cholesky_solve(double* A, const double* b, int32_t dim,
     return 0;
 }
 
+// Trainer layer backward with the oracle's exact chains
+// (exact/network.py:LayerState.backward; reference: linne_network.c:
+// 213-265). Per unit (pin/pout/pback are the unit's ns-long slices,
+// p its npu taps):
+//   dparams[i] = serial_j pin[j] * pout[npu-i+j],   j < ns-npu+i
+//   pback[i]  += (serial_m p[m] * pout[npu+i-m]) / npu,
+//                m in [max(0, npu+i-ns+1), npu)
+// grad_inout arrives holding the incoming gradient (pout is a separate
+// read-only copy of it) and leaves holding the input gradient.
+LINNE_EXACT_FP
+void linne_exact_layer_backward(const double* din, const double* dout,
+                                double* grad_inout, const double* params,
+                                int32_t num_units, int32_t npu, int64_t n,
+                                double* dparams) {
+    const int64_t ns = n / num_units;
+    const double inpu = static_cast<double>(npu);
+    for (int32_t u = 0; u < num_units; u++) {
+        const double* pin = din + u * ns;
+        const double* pout = dout + u * ns;
+        double* pback = grad_inout + u * ns;
+        const double* p = params + static_cast<int64_t>(u) * npu;
+        double* pdp = dparams + static_cast<int64_t>(u) * npu;
+        int32_t i = 0;
+        for (; i + 4 <= npu; i += 4) {
+            // chains share j; lanes differ in the pout offset npu-i
+            const int64_t jn = ns - npu + i;  // lane k adds its last k
+            const double* q = pout + npu - i;  // q[-k + j] for lane k
+            double s0 = 0.0, s1 = 0.0, s2 = 0.0, s3 = 0.0;
+            int64_t j = 0;
+            for (; j < jn; j++) {
+                double pj = pin[j];
+                s0 += pj * q[j];
+                s1 += pj * q[j - 1];
+                s2 += pj * q[j - 2];
+                s3 += pj * q[j - 3];
+            }
+            pdp[i] = s0;
+            s1 += pin[jn] * q[jn - 1];
+            pdp[i + 1] = s1;
+            s2 += pin[jn] * q[jn - 2];
+            s2 += pin[jn + 1] * q[jn - 1];
+            pdp[i + 2] = s2;
+            s3 += pin[jn] * q[jn - 3];
+            s3 += pin[jn + 1] * q[jn - 2];
+            s3 += pin[jn + 2] * q[jn - 1];
+            pdp[i + 3] = s3;
+        }
+        for (; i < npu; i++) {
+            const int64_t jn = ns - npu + i;
+            const double* q = pout + npu - i;
+            double s = 0.0;
+            for (int64_t j = 0; j < jn; j++) s += pin[j] * q[j];
+            pdp[i] = s;
+        }
+        // input gradient: independent chains across output samples
+        for (int64_t t = 0; t < ns; t++) {
+            int32_t m0 = 0;
+            int64_t over = npu + t - ns + 1;
+            if (over > 0) m0 = static_cast<int32_t>(over);
+            const double* qo = pout + npu + t;
+            double s = 0.0;
+            for (int32_t m = m0; m < npu; m++) s += p[m] * qo[-m];
+            pback[t] += s / inpu;
+        }
+    }
+}
+
 // Partitioned-Rice parameter search with the oracle's exact arithmetic
 // (format/rice.py:choose_partition; reference: linne_coder.c:217-279):
 // uint64 finest partition sums, float64 halving-merge means, libm log for

@@ -118,6 +118,15 @@ void linne_exact_af_normal(const double* data, int64_t n, const double* a,
 int32_t linne_exact_cholesky_solve(double* A, const double* b, int32_t dim,
                                    double* x);
 
+/* Trainer layer backward (exact chains of the oracle): writes dparams and
+ * accumulates the input gradient into grad_inout (which arrives holding
+ * the incoming gradient; dout is a read-only copy of it). Requires
+ * num_units | n. */
+void linne_exact_layer_backward(const double* din, const double* dout,
+                                double* grad_inout, const double* params,
+                                int32_t num_units, int32_t npu, int64_t n,
+                                double* dparams);
+
 /* Partitioned-Rice parameter search (exact arithmetic of the encoder's
  * search): writes the winning per-partition k2 into k2s[0 : 1 << porder]
  * (caller provides room for 1024) and returns the winning porder. */

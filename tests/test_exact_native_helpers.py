@@ -217,3 +217,33 @@ def test_exact_af_normal_and_cholesky_bit_identical():
     # singular path: all-zero input -> non-positive pivot -> None
     zmat = np.zeros((4, 4))
     assert L._cholesky_solve(zmat.copy(), np.zeros(4)) is None
+
+
+def test_exact_layer_backward_bit_identical():
+    from linne_tpu.exact import network as N
+
+    rng = np.random.default_rng(31)
+    for n, num_units, npu in [(1024, 1, 32), (1024, 4, 8), (1280, 8, 2),
+                              (640, 2, 16), (768, 128, 1), (40, 4, 4)]:
+        if n // num_units <= npu:
+            continue
+        layer = N.LayerState(n, num_units * npu)
+        layer.num_units = num_units
+        layer.params[:] = rng.normal(0, 0.2, num_units * npu)
+        layer.din[:n] = rng.normal(0, 0.5, n)
+        grad = rng.normal(0, 0.3, n)
+
+        got_grad = grad.copy()
+        layer.backward(got_grad, n)
+        got_dp = layer.dparams.copy()
+
+        orig = N._native.available
+        N._native.available = lambda: False
+        try:
+            want_grad = grad.copy()
+            layer.backward(want_grad, n)
+            want_dp = layer.dparams.copy()
+        finally:
+            N._native.available = orig
+        assert np.array_equal(got_dp, want_dp), (n, num_units, npu)
+        assert np.array_equal(got_grad, want_grad), (n, num_units, npu)
