@@ -123,6 +123,17 @@ enc.set_encode_parameter(EncodeParameter(
 out = enc.encode_whole([ny, ny], 5096)
 dec = Decoder().decode_whole(out)
 assert np.array_equal(dec[0], ny) and np.array_equal(dec[1], ny)
+# exact float64 helpers (autocorr/levinson/unit-predict/rice-search/AF
+# normal equations/cholesky/trainer backward) under sanitizers
+sig = (rng.normal(0, 900, 4200)).astype(np.int32)
+enc = ExactEncoder()
+enc.set_encode_parameter(EncodeParameter(
+    num_channels=2, bits_per_sample=16, sampling_rate=44100,
+    num_samples_per_block=2048, preset=1, ch_process_method=1,
+    num_afmethod_iterations=1, enable_learning=True))
+out = enc.encode_whole([sig, -sig], 4200)
+dec = Decoder().decode_whole(out)
+assert np.array_equal(dec[0], sig) and np.array_equal(dec[1], -sig)
 print("ok")
 """
     env = dict(os.environ)
