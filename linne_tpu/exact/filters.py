@@ -81,20 +81,29 @@ def multistage_deemphasis(
         x[s] = y[s] + ((x[s-1] * c0) >> 5),  x[-1] = preem[0].prev
     """
     (prev0, c0), (prev1, c1) = preem
-    _deemphasis_one_stage(buffer, n, prev1, c1)
-    _deemphasis_one_stage(buffer, n, prev0, c0)
-
-
-def _deemphasis_one_stage(buffer: np.ndarray, n: int, prev: int, coef: int) -> None:
-    if coef == 0:
+    if c0 == 0 and c1 == 0:
         return
-    # Sequential integer recursion; Python-int loop (int32 wraparound applied
-    # per step). The production path uses the native/C++ or Pallas kernel.
-    y = prev
+    # Both recursions interleaved in ONE python-int pass (the reference's
+    # own fused structure, linne_utility.c:215-241) with the int32 wraps
+    # inlined — a zero coefficient makes its stage an exact identity, so
+    # the general loop covers every case.
+    y1 = prev1
+    y0 = prev0
     buf = buffer[:n].tolist()
     for s in range(n):
-        y = _wrap32(buf[s] + ((_wrap32(y * coef)) >> PREEMPH_COEF_SHIFT))
-        buf[s] = y
+        t = (y1 * c1) & 0xFFFFFFFF
+        if t >= 0x80000000:
+            t -= 0x100000000
+        y1 = (buf[s] + (t >> PREEMPH_COEF_SHIFT)) & 0xFFFFFFFF
+        if y1 >= 0x80000000:
+            y1 -= 0x100000000
+        t = (y0 * c0) & 0xFFFFFFFF
+        if t >= 0x80000000:
+            t -= 0x100000000
+        y0 = (y1 + (t >> PREEMPH_COEF_SHIFT)) & 0xFFFFFFFF
+        if y0 >= 0x80000000:
+            y0 -= 0x100000000
+        buf[s] = y0
     buffer[:n] = np.array(buf, dtype=np.int64).astype(np.int32)
 
 

@@ -53,19 +53,55 @@ def synthesize(
     rshift: int,
 ) -> None:
     """Recursive IIR reconstruction (decoder side), in place over int32
-    `data`. Sequential over time, vectorized across units."""
+    `data`. Chunked stale-dot formulation (same trick as the native
+    kernel): each K-output chunk takes full-length dots against the
+    pre-chunk window in one int64 matmul — exact, because int32 wrapping
+    arithmetic is a mod-2^32 ring where multiplication distributes over
+    wrapped addition — then corrects each output serially in python ints
+    for the taps that landed on in-chunk outputs. Only the irreducible
+    per-output correction (the per-step `>> rshift` forbids state-space
+    blocking) stays in the interpreter."""
     order = coef.shape[0]
     npu = order // num_units
     ns = num_samples // num_units
     if ns <= npu:
         return
+    half = 1 << (rshift - 1)  # rshift >= 1 on valid streams (4-bit field)
+    K = 16
     seg = data[: num_units * ns].reshape(num_units, ns)
-    x = seg.astype(np.int64)
-    c = coef.astype(np.int64).reshape(num_units, npu)
-    half = np.int64(1 << (rshift - 1))
-    rs = np.int32(rshift)
-    for t in range(ns - npu):
-        pred = (x[:, t : t + npu] * c).sum(axis=1) + half
-        pred32 = _wrap_i32(pred) >> rs
-        x[:, t + npu] = _wrap_i32(x[:, t + npu] - pred32.astype(np.int64))
-    seg[:] = x.astype(np.int32)
+    x64 = seg.astype(np.int64)
+    for u in range(num_units):
+        xu = x64[u]
+        cs = coef[u * npu : (u + 1) * npu]
+        c64 = cs.astype(np.int64)
+        clist = cs.tolist()
+        npred = ns - npu
+        # one window view for the whole row: row t+m reads xu[t+m : t+m+npu],
+        # which at chunk time holds final values below t+npu and stale ones
+        # at/above it — exactly the stale/fresh split the corrections assume
+        V = sliding_window_view(xu, npu)
+        t = 0
+        while t < npred:
+            k = min(K, npred - t)
+            pre = (V[t : t + k] @ c64).tolist()
+            targets = xu[t + npu : t + npu + k].tolist()
+            deltas = []
+            for m in range(k):
+                s = pre[m] + half
+                if m:
+                    # in-chunk outputs i land on tap j = npu - m + i; only
+                    # i >= m - npu fall inside output m's window
+                    i0 = m - npu if m > npu else 0
+                    cbase = npu - m
+                    for i in range(i0, m):
+                        s += clist[cbase + i] * deltas[i]
+                s &= 0xFFFFFFFF
+                if s >= 0x80000000:
+                    s -= 0x100000000
+                d = -(s >> rshift)
+                deltas.append(d)
+                v = (targets[m] + d) & 0xFFFFFFFF
+                targets[m] = v - 0x100000000 if v >= 0x80000000 else v
+            xu[t + npu : t + npu + k] = targets
+            t += k
+    seg[:] = x64.astype(np.int32)

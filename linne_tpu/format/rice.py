@@ -203,28 +203,85 @@ def encode_plane_with_params(
                 put(uval & k2mask, k2)
 
 
+_M64 = (1 << 64) - 1
+
+
+def _seek_bit(reader: BitReader, bitpos: int) -> None:
+    """Reposition the reader to an absolute bit offset."""
+    byte = bitpos >> 3
+    off = bitpos & 7
+    if off:
+        reader._acc = reader._data[byte] & ((1 << (8 - off)) - 1)
+        reader._nbits = 8 - off
+        reader._pos = byte + 1
+    else:
+        reader._acc = 0
+        reader._nbits = 0
+        reader._pos = byte
+
+
+def _decode_partition(reader: BitReader, k2: int, nsmpl: int, out: list) -> None:
+    """Bulk Rice(k2+1, k2) decode of one partition, appending zigzag-decoded
+    ints to `out`. Mirrors the native rice_run: drain left-aligned 64-bit
+    windows (several symbols per 8-byte load), with a per-symbol generic
+    path for window-spanning runs and the buffer tail."""
+    data = reader._data
+    end = len(data)
+    bitpos = reader._pos * 8 - reader._nbits
+    k1 = k2 + 1
+    k1pow = 1 << k1
+    kmask = (1 << k2) - 1
+    s = 0
+    while s < nsmpl:
+        byte = bitpos >> 3
+        if byte + 8 <= end:
+            w = int.from_bytes(data[byte : byte + 8], "big")
+            sh = bitpos & 7
+            w = (w << sh) & _M64
+            avail = 64 - sh
+            used = 0
+            while s < nsmpl:
+                q = 64 - (w | 1).bit_length()
+                need = q + 1 + (k2 if q else k1)
+                if used + need >= avail:
+                    break
+                if q:
+                    payload = (w >> (63 - q - k2)) & kmask
+                    uval = payload + k1pow + ((q - 1) << k2)
+                else:
+                    payload = (w >> (62 - k2)) & (kmask * 2 + 1)
+                    uval = payload
+                out.append((uval >> 1) ^ -(uval & 1))
+                s += 1
+                w = (w << need) & _M64
+                used += need
+            bitpos += used
+            if used:
+                continue
+        # generic single symbol (tail of buffer / window-spanning run)
+        _seek_bit(reader, bitpos)
+        quot = reader.get_zero_run_length()
+        if quot == 0:
+            uval = reader.get(k1)
+        else:
+            uval = reader.get(k2) + k1pow + ((quot - 1) << k2)
+        out.append((uval >> 1) ^ -(uval & 1))
+        s += 1
+        bitpos = reader._pos * 8 - reader._nbits
+    _seek_bit(reader, bitpos)
+
+
 def decode_plane(reader: BitReader, num_samples: int) -> np.ndarray:
     """Decode one residual plane of `num_samples` int32 samples."""
     best_porder = reader.get(LOG2_MAX_NUM_PARTITIONS)
     nsmpl = num_samples >> best_porder
-    out = np.empty(num_samples, dtype=np.int32)
+    vals: list = []
     k2 = 0
-    idx = 0
-    get = reader.get
-    get_run = reader.get_zero_run_length
     for part in range(1 << best_porder):
         if part == 0:
-            k2 = get(RICE_PARAMETER_BITS)
+            k2 = reader.get(RICE_PARAMETER_BITS)
         else:
             k2 = k2 + zigzag_decode_scalar(gamma_get(reader))
-        k1 = k2 + 1
-        k1pow = 1 << k1
-        for _ in range(nsmpl):
-            quot = get_run()
-            if quot == 0:
-                uval = get(k1)
-            else:
-                uval = get(k2) + k1pow + ((quot - 1) << k2)
-            out[idx] = zigzag_decode_scalar(uval)
-            idx += 1
-    return out
+        _decode_partition(reader, k2, nsmpl, vals)
+    # int32 wrap like the reference's uint32 zigzag decode
+    return np.asarray(vals, dtype=np.int64).astype(np.uint32).astype(np.int32)
