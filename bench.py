@@ -92,12 +92,15 @@ def _degraded_host_bench(rate: int, spb: int) -> None:
     signal = make_signal(n, rate)
     audio_seconds = n / rate
     streams = {}
+    exact_x = {}
     for mode in (0, 7):
         enc = ExactEncoder()
         enc.set_encode_parameter(EncodeParameter(
             num_channels=2, bits_per_sample=16, sampling_rate=rate,
             num_samples_per_block=spb, preset=mode, ch_process_method=1))
+        t0 = time.perf_counter()
         streams[mode] = enc.encode_whole([signal[0], signal[1]], n)
+        exact_x[mode] = audio_seconds / (time.perf_counter() - t0)
     decs = {}
     for mode, data in streams.items():
         dec = Decoder()
@@ -116,6 +119,10 @@ def _degraded_host_bench(rate: int, spb: int) -> None:
         "unit": "x_realtime",
         "vs_baseline": 0.0,
         "tpu_unreachable": True,
+        # host-only exact-path encode (byte-identical oracle, no device):
+        # a real encode datum under outage, NOT the device headline
+        "exact_encode_mode0_realtime_x": round(exact_x[0], 1),
+        "exact_encode_mode7_realtime_x": round(exact_x[7], 1),
         "decode_mode0_realtime_x": round(decs[0], 1),
         "decode_mode0_vs_c_ref_hw": round(decs[0] / BASELINE_DECODE_X[0], 2),
         "decode_mode7_realtime_x": round(decs[7], 1),
