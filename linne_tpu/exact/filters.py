@@ -105,8 +105,3 @@ def multistage_deemphasis(
             y0 -= 0x100000000
         buf[s] = y0
     buffer[:n] = np.array(buf, dtype=np.int64).astype(np.int32)
-
-
-def _wrap32(v: int) -> int:
-    v &= 0xFFFFFFFF
-    return v - 0x100000000 if v >= 0x80000000 else v

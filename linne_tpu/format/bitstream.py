@@ -124,6 +124,23 @@ class BitReader:
             self._acc &= (1 << self._nbits) - 1
             return run
 
+    def bit_position(self) -> int:
+        """Absolute offset of the next unread bit."""
+        return self._pos * 8 - self._nbits
+
+    def seek_bit(self, bitpos: int) -> None:
+        """Reposition to an absolute bit offset (re-primes the buffer)."""
+        byte = bitpos >> 3
+        off = bitpos & 7
+        if off:
+            self._acc = self._data[byte] & ((1 << (8 - off)) - 1)
+            self._nbits = 8 - off
+            self._pos = byte + 1
+        else:
+            self._acc = 0
+            self._nbits = 0
+            self._pos = byte
+
     def flush(self) -> None:
         """Discard buffered partial-byte bits; byte-align the position."""
         self._pos -= self._nbits >> 3

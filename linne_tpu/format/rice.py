@@ -204,30 +204,19 @@ def encode_plane_with_params(
 
 
 _M64 = (1 << 64) - 1
-
-
-def _seek_bit(reader: BitReader, bitpos: int) -> None:
-    """Reposition the reader to an absolute bit offset."""
-    byte = bitpos >> 3
-    off = bitpos & 7
-    if off:
-        reader._acc = reader._data[byte] & ((1 << (8 - off)) - 1)
-        reader._nbits = 8 - off
-        reader._pos = byte + 1
-    else:
-        reader._acc = 0
-        reader._nbits = 0
-        reader._pos = byte
+_M32 = 0xFFFFFFFF
 
 
 def _decode_partition(reader: BitReader, k2: int, nsmpl: int, out: list) -> None:
     """Bulk Rice(k2+1, k2) decode of one partition, appending zigzag-decoded
     ints to `out`. Mirrors the native rice_run: drain left-aligned 64-bit
     windows (several symbols per 8-byte load), with a per-symbol generic
-    path for window-spanning runs and the buffer tail."""
+    path for window-spanning runs and the buffer tail. uval wraps to uint32
+    BEFORE the zigzag decode, like the reference's uint32 accumulator (so
+    corrupt-stream output matches the native decoder sample-for-sample)."""
     data = reader._data
     end = len(data)
-    bitpos = reader._pos * 8 - reader._nbits
+    bitpos = reader.bit_position()
     k1 = k2 + 1
     k1pow = 1 << k1
     kmask = (1 << k2) - 1
@@ -247,10 +236,9 @@ def _decode_partition(reader: BitReader, k2: int, nsmpl: int, out: list) -> None
                     break
                 if q:
                     payload = (w >> (63 - q - k2)) & kmask
-                    uval = payload + k1pow + ((q - 1) << k2)
+                    uval = (payload + k1pow + ((q - 1) << k2)) & _M32
                 else:
-                    payload = (w >> (62 - k2)) & (kmask * 2 + 1)
-                    uval = payload
+                    uval = (w >> (62 - k2)) & (kmask * 2 + 1)
                 out.append((uval >> 1) ^ -(uval & 1))
                 s += 1
                 w = (w << need) & _M64
@@ -259,16 +247,16 @@ def _decode_partition(reader: BitReader, k2: int, nsmpl: int, out: list) -> None
             if used:
                 continue
         # generic single symbol (tail of buffer / window-spanning run)
-        _seek_bit(reader, bitpos)
+        reader.seek_bit(bitpos)
         quot = reader.get_zero_run_length()
         if quot == 0:
             uval = reader.get(k1)
         else:
-            uval = reader.get(k2) + k1pow + ((quot - 1) << k2)
+            uval = (reader.get(k2) + k1pow + ((quot - 1) << k2)) & _M32
         out.append((uval >> 1) ^ -(uval & 1))
         s += 1
-        bitpos = reader._pos * 8 - reader._nbits
-    _seek_bit(reader, bitpos)
+        bitpos = reader.bit_position()
+    reader.seek_bit(bitpos)
 
 
 def decode_plane(reader: BitReader, num_samples: int) -> np.ndarray:
@@ -283,5 +271,5 @@ def decode_plane(reader: BitReader, num_samples: int) -> np.ndarray:
         else:
             k2 = k2 + zigzag_decode_scalar(gamma_get(reader))
         _decode_partition(reader, k2, nsmpl, vals)
-    # int32 wrap like the reference's uint32 zigzag decode
-    return np.asarray(vals, dtype=np.int64).astype(np.uint32).astype(np.int32)
+    # values are already zigzag-decoded from uint32-wrapped uvals
+    return np.asarray(vals, dtype=np.int32)

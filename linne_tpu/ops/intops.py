@@ -93,14 +93,18 @@ def _predict_dense(
     ns_max = n // u_max  # caller guarantees u_max | n, so u_max*ns_max == n
     batch = x.shape[:-1]
     # dense coef gather: fine segment s belongs to real unit s*u//u_max;
-    # column j carries tap age k = order - j, valid iff k <= order/u
-    k = order - jnp.arange(order)  # [order]
-    s = jnp.arange(u_max)
+    # column j carries tap age k = order - j, valid iff k <= order/u.
+    # Broadcast shapes are built from the batch rank so any [..., n] input
+    # works (the encoder passes [B, C, n]).
+    k = (order - jnp.arange(order)).reshape(
+        (1,) * len(batch) + (1, order))               # [..1.., 1, order]
+    s = jnp.arange(u_max).reshape(
+        (1,) * len(batch) + (u_max, 1))               # [..1.., u_max, 1]
     u_r = (jnp.int32(1) << log2u)[..., None, None]
     npu_r = jnp.right_shift(jnp.int32(order), log2u)[..., None, None]
-    unit = (s[None, None, :, None] * u_r) // u_max  # [.., u_max, 1]*
-    valid = k[None, None, None, :] <= npu_r
-    src = unit * npu_r + (npu_r - k[None, None, None, :])
+    unit = (s * u_r) // u_max                         # [.., u_max, 1]
+    valid = k <= npu_r
+    src = unit * npu_r + (npu_r - k)
     flat = jnp.broadcast_to(coefs[..., None, :], batch + (u_max, order))
     dense = jnp.where(valid,
                       jnp.take_along_axis(flat, jnp.where(valid, src, 0),

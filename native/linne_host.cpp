@@ -1458,7 +1458,9 @@ int32_t linne_exact_rice_search(const int32_t* data, int64_t n,
             }
             prevk2 = k2;
         }
-        if (min_bits > bits) {
+        // porder 0 seeds unconditionally: a wrapped total can equal the
+        // 0xFFFFFFFF initializer, which must still produce valid params
+        if (porder == 0 || min_bits > bits) {
             min_bits = bits;
             best_porder = porder;
             k2_best = k2_cur;

@@ -186,3 +186,34 @@ def test_device_rice_search_matches_host_search():
         assert po_dev[i] == po_host, i
         k2s_host = [k2 for (_, k2) in params]
         assert k2_dev[i, : 1 << po_host].tolist() == k2s_host, i
+
+
+def test_predict_dense_batch_rank_generic():
+    """_predict_dense must accept any batch rank like the variant route
+    (review finding: the index broadcasts were hardcoded to rank 2)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from linne_tpu.ops import intops as I
+
+    rng = np.random.default_rng(5)
+    order, n = 16, 640
+    choices = [1, 2, 4, 8, 16]
+    for batch in [(), (3,), (2, 2, 2)]:
+        x = jnp.asarray(
+            rng.integers(-2**20, 2**20, batch + (n,)).astype(np.int32))
+        coefs = jnp.asarray(
+            rng.integers(-128, 128, batch + (order,)).astype(np.int32))
+        lus = rng.choice([(u - 1).bit_length() for u in choices],
+                         size=batch)
+        log2u = jnp.asarray(np.asarray(lus, np.int32))
+        rsh = jnp.asarray(rng.integers(1, 15, batch).astype(np.int32))
+        got = I._predict_dense(x, coefs, log2u, rsh, max(choices))
+        variants = [I._predict_fixed_units(x, coefs, u, rsh)
+                    for u in choices]
+        stack = jnp.stack(variants, axis=0)
+        cm = {u: i for i, u in enumerate(choices)}
+        lut = jnp.asarray([cm.get(1 << l, 0) for l in range(8)], jnp.int32)
+        want = jnp.take_along_axis(
+            stack, lut[log2u][None, ..., None], axis=0)[0]
+        assert np.array_equal(np.asarray(want), np.asarray(got)), batch
