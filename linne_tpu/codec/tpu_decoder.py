@@ -94,13 +94,41 @@ class TpuDecoder:
                 channels, _ = read_raw_payload(payload, nch, n, bps)
                 blocks.append((progress, n, "raw", np.stack(channels)))
             else:
-                unpacked = native.unpack_compress_payload(
-                    payload, cb.node0_array, cb.node1_array, cb.root,
-                    cb.num_symbols, nch, n, bps, orders)
+                if native.available():
+                    unpacked = native.unpack_compress_payload(
+                        payload, cb.node0_array, cb.node1_array, cb.root,
+                        cb.num_symbols, nch, n, bps, orders)
+                else:
+                    unpacked = self._unpack_payload_py(
+                        payload, nch, n, bps, preset.layer_num_params, cb)
                 blocks.append((progress, n, "compress", unpacked))
             offset += bh.total_size
             progress += n
         return header, orders, blocks
+
+    @staticmethod
+    def _unpack_payload_py(payload, nch, n, bps, layer_num_params, cb):
+        """Pure-python compress-payload unpack in the same tuple layout as
+        native.unpack_compress_payload (no-compiler fallback)."""
+        from ..format.block import read_compress_payload
+
+        side, residual_list, consumed = read_compress_payload(
+            payload, nch, n, bps, layer_num_params, cb)
+        residuals = np.stack(residual_list)
+        coefs = np.stack([
+            np.concatenate(side.coefs[ch]).astype(np.int32)
+            for ch in range(nch)])
+        log2u = np.asarray(
+            [[(u - 1).bit_length() for u in side.num_units[ch]]
+             for ch in range(nch)], np.int32)
+        rshifts = np.asarray(side.rshifts, np.int32)
+        pprev = np.asarray(
+            [[pc[0] for pc in side.preemph[ch]] for ch in range(nch)],
+            np.int32)
+        pcoef = np.asarray(
+            [[pc[1] for pc in side.preemph[ch]] for ch in range(nch)],
+            np.int32)
+        return (residuals, coefs, log2u, rshifts, pprev, pcoef, consumed)
 
     # -- device synthesis stage ----------------------------------------------
 
@@ -231,7 +259,15 @@ class TpuDecoder:
             _res, _coefs, _l2, _rs, pprev, pcoef, _c = b
             plane = planes[(si, idx)]
             for ch in range(nch):
-                native.deemphasis(plane[ch], pprev[ch], pcoef[ch])
+                if native.available():
+                    native.deemphasis(plane[ch], pprev[ch], pcoef[ch])
+                else:
+                    from ..exact.filters import multistage_deemphasis
+
+                    multistage_deemphasis(
+                        plane[ch], n,
+                        ((int(pprev[ch, 0]), int(pcoef[ch, 0])),
+                         (int(pprev[ch, 1]), int(pcoef[ch, 1]))))
             if header.ch_process_method == CH_PROCESS_MS:
                 m = plane[0]
                 s = plane[1]

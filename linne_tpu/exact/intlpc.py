@@ -40,7 +40,9 @@ def predict(
     c = coef.astype(np.int64).reshape(num_units, npu)
     # windows[u, t, k] = x[u, t + k], t = 0..ns-npu-1
     win = sliding_window_view(x, npu, axis=1)[:, : ns - npu, :]
-    half = np.int64(1 << (rshift - 1))
+    # corrupt streams may carry rshift=0 (4-bit field); match the native/
+    # XLA convention half=0 so all decode paths agree even on garbage
+    half = np.int64(1 << (rshift - 1)) if rshift >= 1 else np.int64(0)
     pred = np.einsum("utk,uk->ut", win, c, dtype=np.int64) + half
     pred = _wrap_i32(pred) >> np.int32(rshift)
     out = residual[: num_units * ns].reshape(num_units, ns)
@@ -66,7 +68,8 @@ def synthesize(
     ns = num_samples // num_units
     if ns <= npu:
         return
-    half = 1 << (rshift - 1)  # rshift >= 1 on valid streams (4-bit field)
+    # corrupt streams may carry rshift=0; half=0 like the native/XLA paths
+    half = (1 << (rshift - 1)) if rshift >= 1 else 0
     K = 16
     seg = data[: num_units * ns].reshape(num_units, ns)
     x64 = seg.astype(np.int64)

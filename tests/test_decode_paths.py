@@ -34,12 +34,6 @@ def test_host_decoder(encoded):
     assert all(np.array_equal(out[c], samples[c]) for c in range(2))
 
 
-_needs_native = pytest.mark.skipif(
-    not __import__("linne_tpu.native", fromlist=["native"]).available(),
-    reason="TpuDecoder's packed transfers need the native library")
-
-
-@_needs_native
 def test_tpu_batch_decoder(encoded):
     samples, data = encoded
     out = TpuDecoder().decode_whole(data)
@@ -161,7 +155,6 @@ def test_threaded_decode_error_propagation():
         Decoder(DecoderConfig(num_threads=8)).decode_whole(bytes(data))
 
 
-@_needs_native
 def test_tpu_batch_decoder_mono_tail():
     """Device-cascade decode of a mono stream with a tail block (two
     block-length classes, single channel)."""
@@ -177,7 +170,6 @@ def test_tpu_batch_decoder_mono_tail():
     assert np.array_equal(out[0], sig[0])
 
 
-@_needs_native
 def test_tpu_decoder_decode_many_mixed_corpus():
     """decode_many pools reconstruction rows of a whole corpus into shared
     device launches, grouped by (preset, channels); a mixed corpus — two
@@ -212,7 +204,6 @@ def test_tpu_decoder_decode_many_mixed_corpus():
             assert np.array_equal(out[c], sig[c]), (wf, preset, ch, c)
 
 
-@_needs_native
 def test_tpu_decoder_wide_row_fallback(monkeypatch, encoded):
     """Force every reconstruction row past the packed download width: the
     flag column + int32 re-fetch path must reproduce the exact samples."""

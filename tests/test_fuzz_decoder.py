@@ -79,11 +79,7 @@ def test_differential_native_vs_tpu_decoder(stream):
     agree — both raise, or both produce identical samples (the device
     synthesis mirrors the native int32/rshift semantics, including the
     corrupt-stream rshift=0 guard)."""
-    from linne_tpu import native
     from linne_tpu.codec.tpu_decoder import TpuDecoder
-
-    if not native.available():
-        pytest.skip("TpuDecoder's packed transfers need the native library")
 
     rng = np.random.default_rng(7)
     cfg = DecoderConfig(check_crc=False)
