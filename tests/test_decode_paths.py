@@ -315,3 +315,21 @@ def test_exact_encode_path_is_jax_free(tmp_path):
                        cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip().endswith("ok")
+
+
+def test_python_fallback_decode_matches_native(encoded, monkeypatch):
+    """The pure-python fallback decoder (windowed Rice + chunked stale-dot
+    synthesis + fused de-emphasis) must produce samples identical to the
+    native whole-stream decoder on the same valid stream."""
+    from linne_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable: nothing to compare against")
+    samples, data = encoded
+    want = Decoder().decode_whole(data)
+    import linne_tpu.codec.decoder as D
+
+    monkeypatch.setattr(D.native, "available", lambda: False)
+    got = Decoder().decode_whole(data)
+    for c in range(2):
+        assert np.array_equal(got[c], want[c])
