@@ -64,11 +64,13 @@ def gamma_put(writer: BitWriter, val: int) -> None:
 
 
 def gamma_get(reader: BitReader) -> int:
-    ndigit = reader.get_zero_run_length() + 1
-    if ndigit == 1:
+    run = reader.get_zero_run_length()
+    if run == 0:
         return 0
-    rest = reader.get(ndigit - 1)
-    return (1 << (ndigit - 1)) + rest - 1
+    if run >= 32:  # corrupt: every gamma code in this format fits 32 bits
+        raise ValueError("corrupt gamma code")
+    rest = reader.get(run)
+    return (1 << run) + rest - 1
 
 
 def _gamma_bits(uval: int) -> int:
@@ -263,6 +265,10 @@ def decode_plane(reader: BitReader, num_samples: int) -> np.ndarray:
     """Decode one residual plane of `num_samples` int32 samples."""
     best_porder = reader.get(LOG2_MAX_NUM_PARTITIONS)
     nsmpl = num_samples >> best_porder
+    # valid streams only carry porders that divide the sample count (the
+    # encoder's max_porder rule); mirror the native decoder's rejection
+    if (nsmpl << best_porder) != num_samples:
+        raise ValueError("corrupt partition order")
     vals: list = []
     k2 = 0
     for part in range(1 << best_porder):
@@ -270,6 +276,8 @@ def decode_plane(reader: BitReader, num_samples: int) -> np.ndarray:
             k2 = reader.get(RICE_PARAMETER_BITS)
         else:
             k2 = k2 + zigzag_decode_scalar(gamma_get(reader))
+            if not 0 <= k2 <= 31:  # 5-bit wire range, like the native path
+                raise ValueError("corrupt rice parameter")
         _decode_partition(reader, k2, nsmpl, vals)
     # values are already zigzag-decoded from uint32-wrapped uvals
     return np.asarray(vals, dtype=np.int32)

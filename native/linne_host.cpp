@@ -67,7 +67,7 @@ struct BitWriter {
     }
 
     inline void put(uint32_t val, int n) {
-        if (n == 0) return;
+        if (n == 0 || overflow) return;  // overflowed writes are void anyway
         if (nbits + n > 64) commit();  // keeps nbits < 8
         acc = (acc << n) | (val & (n >= 32 ? 0xFFFFFFFFu : ((1u << n) - 1)));
         nbits += n;
@@ -75,8 +75,11 @@ struct BitWriter {
     }
 
     inline void put_zeros(int64_t n) {
-        // flush pending to byte boundary mentally: emit in chunks
+        // flush pending to byte boundary mentally: emit in chunks; bail as
+        // soon as the buffer overflows (a corrupt-input giant run would
+        // otherwise spin millions of no-op puts before pack returns -1)
         while (n >= 32) {
+            if (overflow) return;
             put(0, 32);
             n -= 32;
         }
@@ -197,13 +200,24 @@ inline void gamma_put(BitWriter& w, uint32_t val) {
 }
 
 inline uint32_t gamma_get(BitReader& r) {
-    uint32_t ndigit = r.get_zero_run() + 1;
-    if (ndigit == 1) return 0;
-    uint32_t rest = r.get(static_cast<int>(ndigit - 1));
-    return (1u << (ndigit - 1)) + rest - 1;
+    uint32_t run = r.get_zero_run();
+    if (run == 0) return 0;
+    if (run >= 32) {  // corrupt: every gamma code in this format fits 32 bits
+        r.error = true;
+        return 0;
+    }
+    uint32_t rest = r.get(static_cast<int>(run));
+    return (1u << run) + rest - 1;
 }
 
 inline void rice_put(BitWriter& w, uint32_t k1, uint32_t k2, uint32_t uval) {
+    if (k1 >= 32) {
+        // k2=31 (reachable from the unclamped MLE on extreme residuals):
+        // every uval is "small"; emit the terminator and 32 payload bits
+        w.put(1, 1);
+        w.put(uval, 32);
+        return;
+    }
     uint32_t k1pow = 1u << k1;
     if (uval < k1pow) {
         w.put((1u << k1) | uval, static_cast<int>(k1 + 1));
@@ -233,14 +247,16 @@ inline uint32_t rice_get(BitReader& r, uint32_t k1, uint32_t k2) {
                                           : ((1ULL << k) - 1)));
                 r.acc &= (r.nbits ? ((1ULL << r.nbits) - 1) : 0ULL);
                 if (q == 0) return payload;
-                return payload + (1u << k1)
+                // wrap-safe: k1 can be 32 (k2=31 wire value), 1u<<32 is UB
+                return payload + static_cast<uint32_t>(1ull << k1)
                     + ((static_cast<uint32_t>(q) - 1) << k2);
             }
         }
     }
     uint32_t quot = r.get_zero_run();
     if (quot == 0) return r.get(static_cast<int>(k1));
-    return r.get(static_cast<int>(k2)) + (1u << k1) + ((quot - 1) << k2);
+    return r.get(static_cast<int>(k2)) + static_cast<uint32_t>(1ull << k1)
+        + ((quot - 1) << k2);
 }
 
 // Bulk Rice(k2+1, k2) symbol decode for one partition: tracks an absolute
@@ -259,7 +275,7 @@ inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
     const uint8_t* buf = r.buf;
     const int64_t max_byte = r.size - 8;  // 8-byte loads stay in bounds
     const uint32_t k1 = k2 + 1;
-    const uint32_t k1pow = 1u << k1;
+    const uint32_t k1pow = static_cast<uint32_t>(1ull << k1);  // k1 <= 32
     int s = 0;
     while (s < nsmpl) {
         int64_t byte = bitpos >> 3;
@@ -307,7 +323,11 @@ inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
                 p += z + 1;
                 break;
             }
-            uint32_t k = q ? k2 : k1;
+            // branch on the WRAPPED run like the generic path (rice_get via
+            // get_zero_run wraps at 2^32), so pathological corrupt-stream
+            // runs decode identically on both paths
+            uint32_t qw = static_cast<uint32_t>(q);
+            uint32_t k = qw ? k2 : k1;
             uint32_t payload = 0;
             if (k) {
                 int64_t b3 = p >> 3;
@@ -318,11 +338,8 @@ inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
                 payload = static_cast<uint32_t>(w3 >> (64 - k));
             }
             p += k;
-            // q is the true run length; the uint32 wrap on pathological
-            // (corrupt-stream) runs matches the generic path's behavior
-            uint32_t uval = q ? payload + k1pow
-                                    + ((static_cast<uint32_t>(q) - 1) << k2)
-                              : payload;
+            uint32_t uval = qw ? payload + k1pow + ((qw - 1) << k2)
+                               : payload;
             out[s++] = zigzag_dec(uval);
             bitpos = p;
         }
@@ -379,6 +396,10 @@ int64_t unpack_compress_core(
         if (po > 10) return -1;
         int nparts = 1 << po;
         int nsmpl = n >> po;
+        // valid streams only use porders that divide n (the encoder's
+        // max_porder rule); a corrupt po would otherwise leave residual
+        // tails unwritten yet "succeed"
+        if ((static_cast<int64_t>(nsmpl) << po) != n) return -1;
         int k2 = 0;
         for (int part = 0; part < nparts; part++) {
             if (part == 0) {
@@ -387,8 +408,9 @@ int64_t unpack_compress_core(
                 k2 += zigzag_dec(gamma_get(r));
             }
             // corrupt streams (decoded without CRC checking) must not drive
-            // undefined shifts; valid streams keep k2 in [0, 31)
-            if (k2 < 0 || k2 > 30) return -1;
+            // undefined shifts; the 5-bit wire field allows k2 up to 31
+            // (the decode paths handle k1 = 32 with wrap-safe shifts)
+            if (k2 < 0 || k2 > 31) return -1;
             uint32_t uk1 = static_cast<uint32_t>(k2 + 1);
             uint32_t uk2 = static_cast<uint32_t>(k2);
             int32_t* pres = res + part * nsmpl;
@@ -883,6 +905,11 @@ inline uint32_t be32(const uint8_t* p) {
 int32_t decode_raw_payload(const uint8_t* p, int64_t psize, int32_t nch,
                            int32_t n, int32_t bps, int32_t* out,
                            int64_t stride) {
+    // the read loop consumes 1/2/3 bytes for bps 8/16/other — size the
+    // bounds check by what is actually consumed, and reject widths the
+    // raw layout doesn't define (a crafted header with e.g. bps=12 would
+    // otherwise pass a 12/8=1-byte check but read 3 bytes per sample)
+    if (bps != 8 && bps != 16 && bps != 24) return -3;
     int bytes_per = bps / 8;
     if (psize < static_cast<int64_t>(nch) * n * bytes_per) return -3;
     for (int64_t t = 0; t < n; t++) {
@@ -980,6 +1007,9 @@ int32_t linne_decode_stream(
         pos += bsize + 6;
         progress += ns;
     }
+    // a cleanly-truncated body must not report success with an unwritten
+    // output tail (the header promised total_samples)
+    if (progress < total_samples) return -1;
 
     StreamParams sp{data,    huff_node0, huff_node1, huff_root,
                     num_symbols, nch,    bps,        nlayers,
@@ -1168,6 +1198,7 @@ void linne_exact_unit_predict(const double* x, int64_t n,
 LINNE_EXACT_FP
 void linne_exact_levinson(const double* ac, int32_t order, double flt_eps,
                           double* lpc_coef, double* parcor_coef) {
+    if (order <= 0) return;  // the prologue reads ac[1] / writes parcor[0]
     if (order + 2 > 260) return;  // scratch cap; wrapper falls back first
     if (std::fabs(ac[0]) < flt_eps) {
         for (int32_t i = 0; i <= order; i++) lpc_coef[i] = 0.0;
@@ -1369,6 +1400,10 @@ void linne_exact_layer_backward(const double* din, const double* dout,
 LINNE_EXACT_FP
 int32_t linne_exact_rice_search(const int32_t* data, int64_t n,
                                 int32_t* k2s) {
+    if (n <= 0) {  // the divisibility loop below never exits for n == 0
+        k2s[0] = 0;
+        return 0;
+    }
     // wire constants (format/rice.py): OPTX root and 5-bit parameter field.
     // kLogOptx goes through the same libm log() the oracle's math.log uses,
     // so the two paths share every bit of the constant.

@@ -308,3 +308,49 @@ def test_rice_run_window_exact_fill_symbol():
         out = Decoder().decode_whole(data)
         for c in range(2):
             assert np.array_equal(out[c], sig[c]), n
+
+
+def test_rice_k2_31_wire_roundtrip():
+    """Full-scale residuals drive the MLE to k2=31 (k1=32) — a legal 5-bit
+    wire value whose shifts overflowed uint32 in the native coder (review
+    finding). Both the python plane codec and the native payload pack/unpack
+    must round-trip it."""
+    import numpy as np
+
+    from linne_tpu import native
+    from linne_tpu.format.bitstream import BitReader, BitWriter
+    from linne_tpu.format.rice import (
+        choose_partition, decode_plane, encode_plane, optimal_rice_params,
+    )
+
+    k1, k2 = optimal_rice_params(4.2e9)
+    assert (k1, k2) == (32, 31)
+
+    # values pinned to the int32 extremes: zigzag mean ~4.3e9 -> k2 = 31
+    plane = np.where(np.arange(512) % 2 == 0, -2**31, 2**31 - 1).astype(
+        np.int32)
+    po, params = choose_partition(plane)
+    assert any(k2 == 31 for (_, k2) in params)
+
+    w = BitWriter()
+    encode_plane(w, plane)
+    w.flush()
+    out = decode_plane(BitReader(w.getvalue()), plane.shape[0])
+    assert np.array_equal(out, plane)
+
+    if native.available():
+        from linne_tpu.format.huffman import get_codebook
+        from linne_tpu.presets import PRESETS
+
+        cb = get_codebook(PRESETS[0].coef_freq_table)
+        res = np.stack([plane, plane])
+        k2s = np.full((2, 1), 31, np.int32)
+        payload = native.pack_compress_payload(
+            res, np.zeros((2, 2), np.int32), np.zeros((2, 1), np.int32),
+            np.ones((2, 1), np.int32), np.zeros((2, 2), np.int32),
+            np.zeros((2, 2), np.int32), np.zeros(2, np.int32), k2s,
+            cb.codes_array, cb.lens_array, 16, np.asarray([2], np.int32))
+        got = native.unpack_compress_payload(
+            payload, cb.node0_array, cb.node1_array, cb.root,
+            cb.num_symbols, 2, 512, 16, np.asarray([2], np.int32))
+        assert np.array_equal(got[0], res)
