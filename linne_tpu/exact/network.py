@@ -24,10 +24,39 @@ from typing import List, Sequence
 import numpy as np
 
 from .. import native as _native
-from ..constants import FLT_MAX, LOG2_NUM_UNITS_BITWIDTH
-from .lpc import LpcState, WINDOW_WELCH, _serial_sum
+from ..constants import FLT_EPSILON, FLT_MAX, LOG2_NUM_UNITS_BITWIDTH
+from .lpc import LpcState, WINDOW_WELCH, _serial_sum, _welch_window
 
 _MAX_NUM_UNITS = 1 << ((1 << LOG2_NUM_UNITS_BITWIDTH) - 1)  # 128
+
+# (num_params, n) -> (level_units int32[], welch weights concat, w_off
+# int64[]) for the native whole-layer fit — the valid power-of-two unit
+# counts and their per-level Welch windows (from the oracle's window cache,
+# so Python stays the single source of window truth).
+_fit_layer_cache: dict = {}
+
+
+def _fit_layer_levels(num_params: int, n: int):
+    key = (num_params, n)
+    hit = _fit_layer_cache.get(key)
+    if hit is None:
+        levels = []
+        nunits = 1
+        while nunits <= min(_MAX_NUM_UNITS, num_params):
+            if not (num_params % nunits or n % nunits):
+                levels.append(nunits)
+            nunits <<= 1
+        ws = [_welch_window(n // u) for u in levels]
+        w_off = np.zeros(len(levels), dtype=np.int64)
+        off = 0
+        for i, w in enumerate(ws):
+            w_off[i] = off
+            off += w.shape[0]
+        hit = (np.asarray(levels, dtype=np.int32),
+               np.concatenate(ws) if ws else np.zeros(0, dtype=np.float64),
+               w_off)
+        _fit_layer_cache[key] = hit
+    return hit
 
 
 def _sliding_matrix(x: np.ndarray, n: int, order: int) -> np.ndarray:
@@ -186,6 +215,37 @@ class NetworkState:
                 WINDOW_WELCH, regular_term)
             layer.params[unit * npu : (unit + 1) * npu] = coefs[::-1]
 
+    def _fit_layer(self, layer: LayerState, data: np.ndarray, n: int,
+                   num_af_iterations: int, regular_term: float) -> None:
+        """Unit-count search + final refit for one layer
+        (linne_network.c:268-376). The native whole-layer helper runs the
+        identical fit sequence against the same arena arrays in one call
+        (the per-unit crossings' ctypes overhead dominated the profile);
+        equality is pinned by tests/test_exact_native_helpers.py and the
+        golden suites."""
+        if layer.num_params <= 258 and _native.available():
+            levels, weights, w_off = _fit_layer_levels(layer.num_params, n)
+            best = _native.exact_fit_layer(
+                data, n, layer.num_params, num_af_iterations, regular_term,
+                FLT_EPSILON, FLT_MAX, weights, w_off, levels,
+                self.lpcc.buffer, self.lpcc.auto_corr, self.lpcc.lpc_coef,
+                self.lpcc.parcor_coef, layer.params,
+                self._pred_scratch(n))
+            if best > 0:
+                layer.num_units = best
+                return
+        max_units = min(_MAX_NUM_UNITS, layer.num_params)
+        layer.num_units = self._search_optimal_num_units(
+            layer, data, n, max_units, regular_term)
+        self._set_parameter(layer, data, n, num_af_iterations, regular_term)
+
+    def _pred_scratch(self, n: int) -> np.ndarray:
+        buf = getattr(self, "_pred_buf", None)
+        if buf is None or buf.shape[0] < n:
+            buf = np.empty(max(n, self.max_num_samples), dtype=np.float64)
+            self._pred_buf = buf
+        return buf
+
     def _search_set_units_and_parameters(
         self, data: np.ndarray, n: int, num_af_iterations: int,
         regular_term: float,
@@ -193,10 +253,7 @@ class NetworkState:
         self.data_buffer[:n] = data[:n]
         buf = self.data_buffer
         for layer in self.layers:
-            max_units = min(_MAX_NUM_UNITS, layer.num_params)
-            layer.num_units = self._search_optimal_num_units(
-                layer, buf, n, max_units, regular_term)
-            self._set_parameter(layer, buf, n, num_af_iterations, regular_term)
+            self._fit_layer(layer, buf, n, num_af_iterations, regular_term)
             layer.forward(buf, n)
         return _serial_sum(np.abs(buf[:n])) / n
 

@@ -30,6 +30,7 @@ _u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 _i16p = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -157,6 +158,14 @@ def _load():
         lib.linne_exact_layer_backward.argtypes = [
             _f64p, _f64p, _f64p, _f64p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, _f64p,
+        ]
+
+        lib.linne_exact_fit_layer.restype = ctypes.c_int32
+        lib.linne_exact_fit_layer.argtypes = [
+            _f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            _f64p, _i64p, _i32p, ctypes.c_int32,
+            _f64p, _f64p, _f64p, _f64p, _f64p, _f64p,
         ]
         _lib = lib
         return _lib
@@ -375,6 +384,26 @@ def exact_cholesky_solve(amat: np.ndarray, bvec: np.ndarray):
     st = lib().linne_exact_cholesky_solve(
         amat, np.ascontiguousarray(bvec, np.float64), dim, x)
     return None if st else x
+
+
+def exact_fit_layer(
+    data: np.ndarray, n: int, num_params: int, num_af_iterations: int,
+    regular_term: float, flt_eps: float, flt_max: float,
+    weights: np.ndarray, w_off: np.ndarray, level_units: np.ndarray,
+    buffer: np.ndarray, auto_corr: np.ndarray, lpc_coef: np.ndarray,
+    parcor_coef: np.ndarray, params_out: np.ndarray,
+    pred_scratch: np.ndarray,
+) -> int:
+    """Whole-layer unit search + refit, bit-identical to the oracle's
+    per-layer fitting loop (exact/network.py). Mutates the arena arrays
+    (buffer/auto_corr/lpc_coef/parcor_coef, preserving stale-scratch
+    semantics) and params_out. Returns the chosen unit count, or -1 when
+    the native path can't reproduce the oracle (caller must fall back)."""
+    return int(lib().linne_exact_fit_layer(
+        data, n, num_params, num_af_iterations, regular_term, flt_eps,
+        flt_max, weights, w_off, level_units, level_units.shape[0],
+        buffer, auto_corr, lpc_coef, parcor_coef, params_out,
+        pred_scratch))
 
 
 def exact_layer_backward(din: np.ndarray, dout: np.ndarray,

@@ -1391,6 +1391,149 @@ void linne_exact_layer_backward(const double* din, const double* dout,
     }
 }
 
+// One windowed AF fit: Welch window -> autocorrelation -> ridge ->
+// Levinson-Durbin -> optional IRLS refinement — the per-unit body of the
+// layer fit below, bit-identical to exact/lpc.py:calculate_coef_af with
+// WINDOW_WELCH (reference: lpc.c:327-366,578-661). The caller supplies the
+// oracle's cached Welch weights so Python stays the single source of window
+// truth; an odd-length window never writes the middle sample (the arena
+// keeps its stale value, exact/lpc.py:apply_window). Arena write extents
+// match the oracle exactly: the ns<npu and |ac[0]|<eps degenerate paths
+// zero [0:npu+1] of their targets, the singular-Cholesky path zeroes
+// lpc_coef[0:npu] only. Writes coef_out[0:npu]. Returns 0, or -1 on the
+// one oracle-divergent corner (IRLS requested with no residual samples,
+// where the oracle raises) so the caller can fall back.
+LINNE_EXACT_FP
+static int32_t exact_fit_unit(const double* data, int64_t ns, int32_t npu,
+                              int32_t af_iters, const double* w,
+                              double regular_term, double flt_eps,
+                              double flt_max, double* buffer,
+                              double* auto_corr, double* lpc_coef,
+                              double* parcor_coef, double* coef_out,
+                              double* r_mat, double* r_vec, double* x_vec,
+                              double* a_vec) {
+    const int64_t mid = ns >> 1;
+    if (ns & 1) {
+        for (int64_t i = 0; i < ns; i++)
+            if (i != mid) buffer[i] = data[i] * w[i];
+    } else {
+        for (int64_t i = 0; i < ns; i++) buffer[i] = data[i] * w[i];
+    }
+    linne_exact_autocorr(buffer, ns, npu + 1, auto_corr);
+    if (ns < npu) {
+        for (int32_t i = 0; i <= npu; i++) lpc_coef[i] = 0.0;
+        for (int32_t i = 0; i <= npu; i++) parcor_coef[i] = 0.0;
+    } else {
+        auto_corr[0] *= 1.0 + regular_term;
+        linne_exact_levinson(auto_corr, npu, flt_eps, lpc_coef, parcor_coef);
+    }
+    for (int32_t i = 0; i < npu; i++) a_vec[i] = lpc_coef[i];
+    if (std::fabs(auto_corr[0]) < flt_eps) {
+        for (int32_t i = 0; i <= npu; i++) lpc_coef[i] = 0.0;
+        for (int32_t i = 0; i < npu; i++) coef_out[i] = 0.0;
+        return 0;
+    }
+    if (af_iters > 0 && ns - npu <= 0) return -1;  // oracle divides by nres
+    double prev_obj = flt_max;
+    for (int32_t it = 0; it < af_iters; it++) {
+        double raw = 0.0;
+        linne_exact_af_normal(data, ns, a_vec, npu, 1e-6, r_mat, r_vec,
+                              &raw);
+        const double obj = raw / static_cast<double>(ns - npu);
+        if (linne_exact_cholesky_solve(r_mat, r_vec, npu, x_vec) != 0) {
+            for (int32_t i = 0; i < npu; i++) lpc_coef[i] = 0.0;
+            for (int32_t i = 0; i < npu; i++) coef_out[i] = 0.0;
+            return 0;
+        }
+        for (int32_t i = 0; i < npu; i++) a_vec[i] = x_vec[i];
+        if (std::fabs(prev_obj - obj) < 1e-8) break;
+        prev_obj = obj;
+    }
+    for (int32_t i = 0; i < npu; i++) lpc_coef[i] = a_vec[i];
+    for (int32_t i = 0; i < npu; i++) coef_out[i] = a_vec[i];
+    return 0;
+}
+
+// Whole-layer model fit: the power-of-two unit-count search scored by mean
+// |residual| plus the final refit with the caller's AF iteration count —
+// the per-layer body of the encoder's fitting loop (oracle:
+// exact/network.py:_search_optimal_num_units/_set_parameter; reference:
+// linne_network.c:268-376). One call replaces the ~2*sum(level units)
+// per-unit Python->C crossings whose ctypes overhead dominated the
+// ExactEncoder profile. The arena pointers are the caller's long-lived
+// LpcState arrays, mutated with the oracle's exact write extents so
+// stale-scratch semantics survive across calls. weights holds the oracle's
+// cached Welch windows for every level, concatenated: level l starts at
+// weights + w_off[l] with length n / level_units[l]; level_units must be
+// the oracle's valid-level list (ascending powers of two dividing both
+// num_params and n). Writes params_out[0:num_params] (per-unit
+// time-reversed taps) and pred_scratch[0:n]; returns the chosen unit
+// count, or -1 when the call can't reproduce the oracle (caller falls
+// back to the Python path).
+LINNE_EXACT_FP
+int32_t linne_exact_fit_layer(
+    const double* data, int64_t n, int32_t num_params,
+    int32_t num_af_iterations, double regular_term, double flt_eps,
+    double flt_max, const double* weights, const int64_t* w_off,
+    const int32_t* level_units, int32_t num_levels, double* buffer,
+    double* auto_corr, double* lpc_coef, double* parcor_coef,
+    double* params_out, double* pred_scratch) {
+    if (num_params <= 0 || num_params > 258 || num_levels <= 0 || n <= 0)
+        return -1;
+    std::vector<double> scratch(
+        static_cast<size_t>(num_params) * num_params + 4 * num_params);
+    double* r_mat = scratch.data();
+    double* r_vec = r_mat + static_cast<int64_t>(num_params) * num_params;
+    double* x_vec = r_vec + num_params;
+    double* a_vec = x_vec + num_params;
+    double* coef_tmp = a_vec + num_params;
+
+    double min_loss = flt_max;
+    int32_t best = 0;
+    for (int32_t l = 0; l < num_levels; l++) {
+        const int32_t nunits = level_units[l];
+        if (nunits <= 0 || num_params % nunits || n % nunits) return -1;
+        const int32_t npu = num_params / nunits;
+        const int64_t ns = n / nunits;
+        const double* w = weights + w_off[l];
+        for (int32_t u = 0; u < nunits; u++) {
+            if (exact_fit_unit(data + static_cast<int64_t>(u) * ns, ns, npu,
+                               0, w, regular_term, flt_eps, flt_max, buffer,
+                               auto_corr, lpc_coef, parcor_coef, coef_tmp,
+                               r_mat, r_vec, x_vec, a_vec) != 0)
+                return -1;
+            double* p = params_out + static_cast<int64_t>(u) * npu;
+            for (int32_t j = 0; j < npu; j++) p[j] = coef_tmp[npu - 1 - j];
+        }
+        linne_exact_unit_predict(data, n, params_out, nunits, npu, 1,
+                                 pred_scratch);
+        double s = 0.0;  // serial |residual| sum skipping sample 0
+        for (int64_t t = 1; t < n; t++) s += std::fabs(pred_scratch[t]);
+        const double mean_loss = s / static_cast<double>(n);
+        if (mean_loss < min_loss) {
+            min_loss = mean_loss;
+            best = nunits;
+        }
+    }
+    if (best == 0) return -1;  // oracle asserts; caller falls back
+    int32_t bl = 0;
+    while (level_units[bl] != best) bl++;
+    const int32_t npu = num_params / best;
+    const int64_t ns = n / best;
+    const double* w = weights + w_off[bl];
+    for (int32_t u = 0; u < best; u++) {
+        if (exact_fit_unit(data + static_cast<int64_t>(u) * ns, ns, npu,
+                           num_af_iterations, w, regular_term, flt_eps,
+                           flt_max, buffer, auto_corr, lpc_coef,
+                           parcor_coef, coef_tmp, r_mat, r_vec, x_vec,
+                           a_vec) != 0)
+            return -1;
+        double* p = params_out + static_cast<int64_t>(u) * npu;
+        for (int32_t j = 0; j < npu; j++) p[j] = coef_tmp[npu - 1 - j];
+    }
+    return best;
+}
+
 // Partitioned-Rice parameter search with the oracle's exact arithmetic
 // (format/rice.py:choose_partition; reference: linne_coder.c:217-279):
 // uint64 finest partition sums, float64 halving-merge means, libm log for

@@ -127,6 +127,28 @@ void linne_exact_layer_backward(const double* din, const double* dout,
                                 int32_t num_units, int32_t npu, int64_t n,
                                 double* dparams);
 
+/* Whole-layer model fit (exact arithmetic of the encoder's per-layer
+ * fitting loop): power-of-two unit-count search scored by mean |residual|,
+ * then a final per-unit refit with num_af_iterations IRLS steps. weights
+ * holds the caller's Welch windows for every level, concatenated (level l
+ * at weights + w_off[l], length n / level_units[l]); level_units must list
+ * the valid unit counts in ascending order (powers of two dividing both
+ * num_params and n). buffer/auto_corr/lpc_coef/parcor_coef are the
+ * caller's long-lived analysis scratch (mutated with the encoder's exact
+ * write extents; stale contents are semantically significant). Writes
+ * params_out[0:num_params] (per-unit time-reversed taps) and
+ * pred_scratch[0:n]; returns the chosen unit count, or -1 when the
+ * arguments fall outside the supported envelope (num_params > 258, empty
+ * level list, non-dividing level, or an IRLS refit with no residual
+ * samples). */
+int32_t linne_exact_fit_layer(
+    const double* data, int64_t n, int32_t num_params,
+    int32_t num_af_iterations, double regular_term, double flt_eps,
+    double flt_max, const double* weights, const int64_t* w_off,
+    const int32_t* level_units, int32_t num_levels, double* buffer,
+    double* auto_corr, double* lpc_coef, double* parcor_coef,
+    double* params_out, double* pred_scratch);
+
 /* Partitioned-Rice parameter search (exact arithmetic of the encoder's
  * search): writes the winning per-partition k2 into k2s[0 : 1 << porder]
  * (caller provides room for 1024) and returns the winning porder. */

@@ -247,3 +247,56 @@ def test_exact_layer_backward_bit_identical():
             N._native.available = orig
         assert np.array_equal(got_dp, want_dp), (n, num_units, npu)
         assert np.array_equal(got_grad, want_grad), (n, num_units, npu)
+
+
+def test_exact_fit_layer_bit_identical():
+    """The native whole-layer fit (unit search + AF refit in one call) must
+    reproduce the oracle's params, unit choice, AND the analysis arena's
+    post-state bitwise — the arena's stale contents feed later fits and the
+    code-length estimator."""
+    from linne_tpu.exact.network import NetworkState, _MAX_NUM_UNITS
+
+    rng = np.random.default_rng(77)
+
+    def run(net, use_native, n, num_af, reg, data):
+        buf = net.data_buffer
+        buf[:n] = data[:n]
+        outs = []
+        for layer in net.layers:
+            if use_native:
+                net._fit_layer(layer, buf, n, num_af, reg)
+            else:
+                max_units = min(_MAX_NUM_UNITS, layer.num_params)
+                layer.num_units = net._search_optimal_num_units(
+                    layer, buf, n, max_units, reg)
+                net._set_parameter(layer, buf, n, num_af, reg)
+            layer.forward(buf, n)
+            outs.append((layer.num_units, layer.params.copy()))
+        return outs
+
+    cases = [
+        ([2, 32], 2560, 0, 0.0),
+        ([4, 64, 8], 2560, 1, 1 / 512),
+        ([4, 128, 16], 2562, 2, 0.0),   # odd ns at u=2
+        ([3, 6], 2562, 1, 1 / 128),     # non-pow2 params: sparse levels
+    ]
+    for structure, n, af, reg in cases:
+        base = rng.normal(0, 1000, n).round()
+        a = NetworkState(n, len(structure), max(structure))
+        b = NetworkState(n, len(structure), max(structure))
+        a.set_layer_structure(n, structure)
+        b.set_layer_structure(n, structure)
+        # two sequential fits exercise stale-arena carryover
+        for rep, d in enumerate([base, (base * 0.5).round(),
+                                 np.zeros(n)]):
+            ra = run(a, True, n, af, reg, d.astype(np.float64))
+            rb = run(b, False, n, af, reg, d.astype(np.float64))
+            for (ua, pa), (ub, pb) in zip(ra, rb):
+                assert ua == ub, (structure, n, af, reg, rep)
+                assert pa.tobytes() == pb.tobytes(), (structure, n, af, rep)
+            for attr in ("buffer", "auto_corr", "lpc_coef", "parcor_coef"):
+                assert (getattr(a.lpcc, attr).tobytes()
+                        == getattr(b.lpcc, attr).tobytes()), (
+                    structure, n, attr, rep)
+            assert (a.data_buffer[:n].tobytes()
+                    == b.data_buffer[:n].tobytes()), (structure, n, rep)
