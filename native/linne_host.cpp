@@ -23,6 +23,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 #include "linne_host.h"
 
 // The bulk CRC16 fold, the 8-byte bit-writer commit / bit-reader refill, and
@@ -1113,6 +1117,56 @@ LINNE_EXACT_FP
 void linne_exact_autocorr(const double* x, int64_t n, int32_t nlags,
                           double* out) {
     int32_t lag = 0;
+#if defined(__AVX512F__)
+    // Packed form of the same chains: lane l of an accumulator carries the
+    // serial chain for lag+l (vaddpd/vmulpd are lane-wise, so each chain's
+    // rounding sequence is untouched — no FMA, products still rounded
+    // before the add). 32 chains in flight hide the 4-cycle add latency;
+    // each chain's tail (i >= common) continues scalar FROM the lane value.
+    for (; lag + 32 <= nlags; lag += 32) {
+        __m512d a0 = _mm512_setzero_pd(), a1 = _mm512_setzero_pd();
+        __m512d a2 = _mm512_setzero_pd(), a3 = _mm512_setzero_pd();
+        int64_t common = n - (lag + 31);
+        if (common < 0) common = 0;
+        for (int64_t i = 0; i < common; i++) {
+            const __m512d xi = _mm512_set1_pd(x[i]);
+            const double* b = x + i + lag;
+            a0 = _mm512_add_pd(a0, _mm512_mul_pd(xi, _mm512_loadu_pd(b)));
+            a1 = _mm512_add_pd(a1, _mm512_mul_pd(xi, _mm512_loadu_pd(b + 8)));
+            a2 = _mm512_add_pd(a2, _mm512_mul_pd(xi, _mm512_loadu_pd(b + 16)));
+            a3 = _mm512_add_pd(a3, _mm512_mul_pd(xi, _mm512_loadu_pd(b + 24)));
+        }
+        double acc[32];
+        _mm512_storeu_pd(acc, a0);
+        _mm512_storeu_pd(acc + 8, a1);
+        _mm512_storeu_pd(acc + 16, a2);
+        _mm512_storeu_pd(acc + 24, a3);
+        for (int32_t l = 0; l < 32; l++) {
+            double a = acc[l];
+            for (int64_t i = common; i < n - (lag + l); i++)
+                a += x[i] * x[i + lag + l];
+            out[lag + l] = a;
+        }
+    }
+    for (; lag + 8 <= nlags; lag += 8) {
+        __m512d a0 = _mm512_setzero_pd();
+        int64_t common = n - (lag + 7);
+        if (common < 0) common = 0;
+        for (int64_t i = 0; i < common; i++) {
+            const __m512d xi = _mm512_set1_pd(x[i]);
+            a0 = _mm512_add_pd(
+                a0, _mm512_mul_pd(xi, _mm512_loadu_pd(x + i + lag)));
+        }
+        double acc[8];
+        _mm512_storeu_pd(acc, a0);
+        for (int32_t l = 0; l < 8; l++) {
+            double a = acc[l];
+            for (int64_t i = common; i < n - (lag + l); i++)
+                a += x[i] * x[i + lag + l];
+            out[lag + l] = a;
+        }
+    }
+#endif
     for (; lag + 4 <= nlags; lag += 4) {
         double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
         int64_t common = n - (lag + 3);  // all four lags in range
@@ -1164,6 +1218,39 @@ void linne_exact_unit_predict(const double* x, int64_t n,
             }
             out[t] = acc;
         }
+#if defined(__AVX512F__)
+        // Packed form of the same chains: lane k of an accumulator carries
+        // output t+k's serial tap sum (lane-wise mul/add keep each chain's
+        // rounding order; no FMA). Two accumulators in flight halve the
+        // add-latency stall.
+        for (; t + 16 <= t1; t += 16) {
+            const double* w = x + t - npu;
+            __m512d a0 = include_base ? _mm512_loadu_pd(x + t)
+                                      : _mm512_setzero_pd();
+            __m512d a1 = include_base ? _mm512_loadu_pd(x + t + 8)
+                                      : _mm512_setzero_pd();
+            for (int32_t j = 0; j < npu; j++) {
+                const __m512d pj = _mm512_set1_pd(p[j]);
+                a0 = _mm512_add_pd(a0,
+                                   _mm512_mul_pd(pj, _mm512_loadu_pd(w + j)));
+                a1 = _mm512_add_pd(
+                    a1, _mm512_mul_pd(pj, _mm512_loadu_pd(w + j + 8)));
+            }
+            _mm512_storeu_pd(out + t, a0);
+            _mm512_storeu_pd(out + t + 8, a1);
+        }
+        for (; t + 8 <= t1; t += 8) {
+            const double* w = x + t - npu;
+            __m512d a0 = include_base ? _mm512_loadu_pd(x + t)
+                                      : _mm512_setzero_pd();
+            for (int32_t j = 0; j < npu; j++) {
+                const __m512d pj = _mm512_set1_pd(p[j]);
+                a0 = _mm512_add_pd(a0,
+                                   _mm512_mul_pd(pj, _mm512_loadu_pd(w + j)));
+            }
+            _mm512_storeu_pd(out + t, a0);
+        }
+#endif
         for (; t + 4 <= t1; t += 4) {
             const double* w = x + t - npu;
             double a0 = include_base ? x[t] : 0.0;
