@@ -1331,7 +1331,39 @@ void linne_exact_af_normal(const double* data, int64_t n, const double* a,
     const double* d = data + order;
     std::vector<double> inv(static_cast<size_t>(nres));
     double ob = 0.0;
-    for (int64_t t = 0; t < nres; t++) {
+    int64_t t0 = 0;
+#if defined(__AVX512F__)
+    // Lane l carries residual t+l's serial tap chain (X[t+l, i] lanes are
+    // ascending-contiguous loads); |.| / compare / div are lane-wise IEEE
+    // ops identical to the scalar path. The obj accumulation stays a
+    // single serial chain over t, folded below from the stored residuals.
+    {
+        const __m512d absmask = _mm512_castsi512_pd(
+            _mm512_set1_epi64(0x7fffffffffffffffLL));
+        const __m512d veps = _mm512_set1_pd(eps);
+        const __m512d one = _mm512_set1_pd(1.0);
+        for (; t0 + 8 <= nres; t0 += 8) {
+            __m512d acc = _mm512_loadu_pd(d + t0);
+            const double* w = data + order + t0 - 1;  // w[l - i] = X[t0+l, i]
+            for (int32_t i = 0; i < order; i++) {
+                const __m512d ai = _mm512_set1_pd(a[i]);
+                acc = _mm512_add_pd(
+                    acc, _mm512_mul_pd(ai, _mm512_loadu_pd(w - i)));
+            }
+            const __m512d r = _mm512_and_pd(acc, absmask);
+            // np.maximum semantics: NaN propagates (r < eps false for NaN)
+            const __mmask8 lt = _mm512_cmp_pd_mask(r, veps, _CMP_LT_OQ);
+            const __m512d den = _mm512_mask_blend_pd(lt, r, veps);
+            _mm512_storeu_pd(&inv[t0], _mm512_div_pd(one, den));
+            // stash |residual| for the serial obj fold below: reuse the
+            // r_vec buffer? no — keep a local spill per block
+            double rr[8];
+            _mm512_storeu_pd(rr, r);
+            for (int32_t l = 0; l < 8; l++) ob += rr[l];
+        }
+    }
+#endif
+    for (int64_t t = t0; t < nres; t++) {
         const double* w = data + order + t - 1;  // w[-i] = X[t, i]
         double acc = d[t];
         for (int32_t i = 0; i < order; i++) acc += a[i] * w[-i];
@@ -1341,6 +1373,91 @@ void linne_exact_af_normal(const double* data, int64_t n, const double* a,
         inv[t] = 1.0 / (r < eps ? eps : r);
     }
     *obj = ob;
+#if defined(__AVX512F__)
+    // Lane l of a block carries the serial chain for output j+l (r_vec:
+    // i+l). X[t, j+l] lanes are DESCENDING-contiguous — one load + a
+    // reverse permute; both products stay lane-wise rounded in the
+    // oracle's order: (xi * xj) * inv.
+    if (order >= 8) {
+        // X[t, j+l] lanes are descending-contiguous; instead of reversing
+        // every load, lane l accumulates output j+7-l (its own serial
+        // chain, untouched) and ONE reverse permute runs at store time.
+        // Two j-blocks per t amortize the d/inv broadcasts.
+        const __m512i rev = _mm512_set_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+        int32_t i = 0;
+        for (; i + 8 <= order; i += 8) {
+            const double* xi_nat = data + order - 8 - i;  // lane l: i+7-l
+            __m512d v = _mm512_setzero_pd();
+            for (int64_t t = 0; t < nres; t++) {
+                const __m512d dt = _mm512_set1_pd(d[t]);
+                const __m512d it = _mm512_set1_pd(inv[t]);
+                v = _mm512_add_pd(
+                    v, _mm512_mul_pd(
+                           _mm512_mul_pd(dt, _mm512_loadu_pd(xi_nat + t)),
+                           it));
+            }
+            double vv[8];
+            _mm512_storeu_pd(vv, _mm512_permutexvar_pd(rev, v));
+            for (int32_t l = 0; l < 8; l++) r_vec[i + l] = -vv[l];
+        }
+        for (; i < order; i++) {
+            const double* xi = data + order - 1 - i;
+            double v = 0.0;
+            for (int64_t t = 0; t < nres; t++) v += (d[t] * xi[t]) * inv[t];
+            r_vec[i] = -v;
+        }
+        for (i = 0; i < order; i++) {
+            const double* xi = data + order - 1 - i;
+            double* row = r_mat + static_cast<int64_t>(i) * order;
+            int32_t j = i;
+            for (; j + 16 <= order; j += 16) {
+                const double* x0 = data + order - 8 - j;   // lanes j+7-l
+                const double* x1 = x0 - 8;                 // lanes j+15-l
+                __m512d s0 = _mm512_setzero_pd();
+                __m512d s1 = _mm512_setzero_pd();
+                for (int64_t t = 0; t < nres; t++) {
+                    const __m512d xit = _mm512_set1_pd(xi[t]);
+                    const __m512d it = _mm512_set1_pd(inv[t]);
+                    s0 = _mm512_add_pd(
+                        s0, _mm512_mul_pd(
+                                _mm512_mul_pd(xit, _mm512_loadu_pd(x0 + t)),
+                                it));
+                    s1 = _mm512_add_pd(
+                        s1, _mm512_mul_pd(
+                                _mm512_mul_pd(xit, _mm512_loadu_pd(x1 + t)),
+                                it));
+                }
+                _mm512_storeu_pd(row + j, _mm512_permutexvar_pd(rev, s0));
+                _mm512_storeu_pd(row + j + 8,
+                                 _mm512_permutexvar_pd(rev, s1));
+            }
+            for (; j + 8 <= order; j += 8) {
+                const double* x0 = data + order - 8 - j;
+                __m512d s0 = _mm512_setzero_pd();
+                for (int64_t t = 0; t < nres; t++) {
+                    const __m512d xit = _mm512_set1_pd(xi[t]);
+                    const __m512d it = _mm512_set1_pd(inv[t]);
+                    s0 = _mm512_add_pd(
+                        s0, _mm512_mul_pd(
+                                _mm512_mul_pd(xit, _mm512_loadu_pd(x0 + t)),
+                                it));
+                }
+                _mm512_storeu_pd(row + j, _mm512_permutexvar_pd(rev, s0));
+            }
+            for (; j < order; j++) {
+                const double* xj = data + order - 1 - j;
+                double s = 0.0;
+                for (int64_t t = 0; t < nres; t++)
+                    s += (xi[t] * xj[t]) * inv[t];
+                row[j] = s;
+            }
+        }
+        for (int32_t ii = 0; ii < order; ii++)
+            for (int32_t j = ii + 1; j < order; j++)
+                r_mat[j * order + ii] = r_mat[ii * order + j];
+        return;
+    }
+#endif
     for (int32_t i = 0; i < order; i++) {
         const double* xi = data + order - 1 - i;
         double v = 0.0;
