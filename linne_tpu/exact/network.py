@@ -312,6 +312,30 @@ class TrainerState:
               loss_epsilon: float) -> None:
         for l, layer in enumerate(net.layers):
             self.momentum[l][: layer.num_params] = 0.0
+        if (_native.available()
+                and all(n % L.num_units == 0 for L in net.layers)):
+            # whole loop in one native call (bit-identical; pinned by
+            # tests/test_exact_native_helpers.py); per-layer state copied
+            # back so later code sees the oracle's post-train arrays
+            layers = net.layers
+            units = np.array([L.num_units for L in layers], dtype=np.int32)
+            nparams = np.array([L.num_params for L in layers],
+                               dtype=np.int32)
+            params = np.concatenate([L.params for L in layers])
+            dparams = np.zeros_like(params)
+            momentum = np.zeros_like(params)
+            _native.exact_train(
+                np.ascontiguousarray(data[:n], np.float64), n, units,
+                nparams, params, dparams, momentum, max_iterations,
+                learning_rate, loss_epsilon, self.alpha, FLT_MAX)
+            off = 0
+            for l, L in enumerate(layers):
+                L.params[:] = params[off : off + L.num_params]
+                L.dparams[:] = dparams[off : off + L.num_params]
+                self.momentum[l][: L.num_params] = (
+                    momentum[off : off + L.num_params])
+                off += L.num_params
+            return
         prev_loss = FLT_MAX
         for _ in range(max_iterations):
             net.data_buffer[:n] = data[:n]

@@ -160,6 +160,14 @@ def _load():
             ctypes.c_int64, _f64p,
         ]
 
+        lib.linne_exact_train.restype = None
+        lib.linne_exact_train.argtypes = [
+            _f64p, ctypes.c_int64, ctypes.c_int32, _i32p, _i32p,
+            _f64p, _f64p, _f64p, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, _f64p,
+        ]
+
         lib.linne_exact_fit_layer.restype = ctypes.c_int32
         lib.linne_exact_fit_layer.argtypes = [
             _f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -384,6 +392,22 @@ def exact_cholesky_solve(amat: np.ndarray, bvec: np.ndarray):
     st = lib().linne_exact_cholesky_solve(
         amat, np.ascontiguousarray(bvec, np.float64), dim, x)
     return None if st else x
+
+
+def exact_train(
+    data: np.ndarray, n: int, num_units: np.ndarray, num_params: np.ndarray,
+    params: np.ndarray, dparams: np.ndarray, momentum: np.ndarray,
+    max_iterations: int, learning_rate: float, loss_epsilon: float,
+    alpha: float, flt_max: float,
+) -> None:
+    """Whole -l trainer loop, bit-identical to the oracle
+    (exact/network.py:TrainerState.train). params/dparams/momentum are the
+    per-layer arrays concatenated and are mutated in place."""
+    nl = num_units.shape[0]
+    work = np.empty((nl + 3) * n, dtype=np.float64)
+    lib().linne_exact_train(
+        data, n, nl, num_units, num_params, params, dparams, momentum,
+        max_iterations, learning_rate, loss_epsilon, alpha, flt_max, work)
 
 
 def exact_fit_layer(

@@ -1551,6 +1551,32 @@ void linne_exact_layer_backward(const double* din, const double* dout,
         const double* p = params + static_cast<int64_t>(u) * npu;
         double* pdp = dparams + static_cast<int64_t>(u) * npu;
         int32_t i = 0;
+#if defined(__AVX512F__)
+        // Lane l carries dparams[i+7-l]'s serial chain (descending-index
+        // lanes load contiguously; ONE reverse permute at store time).
+        // Chains share the prefix j < jn(i); lane i+l's extra terms
+        // j in [jn(i), jn(i)+l) finish scalar from the lane value.
+        for (; i + 8 <= npu && ns - npu + i >= 0; i += 8) {
+            const int64_t jn = ns - npu + i;       // shortest chain (lane 7)
+            const double* q = pout + npu - i - 7;  // q[j + l] hits lane l
+            __m512d s = _mm512_setzero_pd();
+            for (int64_t j = 0; j < jn; j++) {
+                s = _mm512_add_pd(
+                    s, _mm512_mul_pd(_mm512_set1_pd(pin[j]),
+                                     _mm512_loadu_pd(q + j)));
+            }
+            double acc[8];
+            const __m512i rev = _mm512_set_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+            _mm512_storeu_pd(acc, _mm512_permutexvar_pd(rev, s));
+            for (int32_t l = 0; l < 8; l++) {
+                double a = acc[l];
+                const double* ql = pout + npu - (i + l);
+                for (int64_t j = jn; j < ns - npu + i + l; j++)
+                    a += pin[j] * ql[j];
+                pdp[i + l] = a;
+            }
+        }
+#endif
         for (; i + 4 <= npu; i += 4) {
             // chains share j; lanes differ in the pout offset npu-i
             const int64_t jn = ns - npu + i;  // lane k adds its last k
@@ -1583,7 +1609,29 @@ void linne_exact_layer_backward(const double* din, const double* dout,
             pdp[i] = s;
         }
         // input gradient: independent chains across output samples
-        for (int64_t t = 0; t < ns; t++) {
+        int64_t t = 0;
+#if defined(__AVX512F__)
+        // lane l carries output t+l's serial tap chain (ascending-
+        // contiguous loads); the edge region t > ns-npu-1 (clipped m0)
+        // stays scalar below
+        {
+            const __m512d vnpu = _mm512_set1_pd(inpu);
+            for (; t + 8 <= ns - npu; t += 8) {
+                const double* qo = pout + npu + t;  // qo[l - m] per lane
+                __m512d s = _mm512_setzero_pd();
+                for (int32_t m = 0; m < npu; m++) {
+                    s = _mm512_add_pd(
+                        s, _mm512_mul_pd(_mm512_set1_pd(p[m]),
+                                         _mm512_loadu_pd(qo - m)));
+                }
+                _mm512_storeu_pd(
+                    pback + t,
+                    _mm512_add_pd(_mm512_loadu_pd(pback + t),
+                                  _mm512_div_pd(s, vnpu)));
+            }
+        }
+#endif
+        for (; t < ns; t++) {
             int32_t m0 = 0;
             int64_t over = npu + t - ns + 1;
             if (over > 0) m0 = static_cast<int32_t>(over);
@@ -1592,6 +1640,76 @@ void linne_exact_layer_backward(const double* din, const double* dout,
             for (int32_t m = m0; m < npu; m++) s += p[m] * qo[-m];
             pback[t] += s / inpu;
         }
+    }
+}
+
+// Whole-trainer loop: full-batch momentum gradient descent on the L1 loss
+// (oracle: exact/network.py:TrainerState.train + NetworkState._calculate_
+// gradient; reference: linne_network.c:805-873) in one native call — the
+// oracle's per-iteration Python pass dominated the -l profile. Exact
+// arithmetic: per iteration the signal is re-propagated through every
+// layer (same unit-predict chains as the oracle), loss is the serial
+// |residual| fold over samples divided by n, the L1 subgradient is
+// sign(x)/n with sign(+-0)=+0 and NaN->+0, the backward pass reuses the
+// exact layer-backward chains, and the momentum update is the oracle's
+// elementwise m = m*alpha + lr*dg; p -= m. Convergence: |loss - prev| <
+// loss_epsilon checked AFTER the update, prev seeded with flt_max.
+// params/dparams/momentum are the per-layer arrays concatenated; work
+// must hold (num_layers + 3) * n doubles. Requires num_units[l] | n for
+// every layer (caller falls back otherwise).
+LINNE_EXACT_FP
+void linne_exact_train(
+    const double* data, int64_t n, int32_t num_layers,
+    const int32_t* num_units, const int32_t* num_params, double* params,
+    double* dparams, double* momentum, int32_t max_iterations,
+    double learning_rate, double loss_epsilon, double alpha,
+    double flt_max, double* work) {
+    double* buf = work;
+    double* dout = work + n;
+    double* pred = work + 2 * n;
+    double* din = work + 3 * n;  // num_layers rows of n
+    const double nd = static_cast<double>(n);
+    double prev_loss = flt_max;
+    for (int32_t it = 0; it < max_iterations; it++) {
+        std::memcpy(buf, data, sizeof(double) * static_cast<size_t>(n));
+        // forward: residual in place, per-layer input saved for backward
+        int64_t poff = 0;
+        for (int32_t l = 0; l < num_layers; l++) {
+            double* dl = din + static_cast<int64_t>(l) * n;
+            std::memcpy(dl, buf, sizeof(double) * static_cast<size_t>(n));
+            linne_exact_unit_predict(dl, n, params + poff, num_units[l],
+                                     num_params[l] / num_units[l], 0, pred);
+            for (int64_t t = 1; t < n; t++) buf[t] += pred[t];
+            poff += num_params[l];
+        }
+        double loss = 0.0;  // serial |residual| fold, sample order
+        for (int64_t t = 0; t < n; t++) loss += std::fabs(buf[t]);
+        loss /= nd;
+        // L1 subgradient: sign(x)/n, sign(+-0)=+0, NaN->+0 (np.where)
+        for (int64_t t = 0; t < n; t++) {
+            const double v = buf[t];
+            const double s = (v > 0.0) ? 1.0 : ((v < 0.0) ? -1.0 : 0.0);
+            buf[t] = s / nd;
+        }
+        for (int32_t l = num_layers - 1; l >= 0; l--) {
+            poff -= num_params[l];
+            std::memcpy(dout, buf, sizeof(double) * static_cast<size_t>(n));
+            linne_exact_layer_backward(
+                din + static_cast<int64_t>(l) * n, dout, buf, params + poff,
+                num_units[l], num_params[l] / num_units[l], n,
+                dparams + poff);
+        }
+        int64_t k = 0;
+        for (int32_t l = 0; l < num_layers; l++) {
+            for (int32_t c = 0; c < num_params[l]; c++, k++) {
+                double m = momentum[k] * alpha;
+                m += learning_rate * dparams[k];
+                momentum[k] = m;
+                params[k] -= m;
+            }
+        }
+        if (std::fabs(loss - prev_loss) < loss_epsilon) break;
+        prev_loss = loss;
     }
 }
 

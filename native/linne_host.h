@@ -127,6 +127,18 @@ void linne_exact_layer_backward(const double* din, const double* dout,
                                 int32_t num_units, int32_t npu, int64_t n,
                                 double* dparams);
 
+/* Whole-trainer loop (exact arithmetic of the encoder's -l learning):
+ * full-batch momentum gradient descent on the L1 loss of the layer
+ * cascade. params/dparams/momentum are the per-layer arrays concatenated
+ * (momentum zeroed by the caller); work holds (num_layers + 3) * n
+ * doubles of scratch. Requires num_units[l] | n for every layer. */
+void linne_exact_train(
+    const double* data, int64_t n, int32_t num_layers,
+    const int32_t* num_units, const int32_t* num_params, double* params,
+    double* dparams, double* momentum, int32_t max_iterations,
+    double learning_rate, double loss_epsilon, double alpha,
+    double flt_max, double* work);
+
 /* Whole-layer model fit (exact arithmetic of the encoder's per-layer
  * fitting loop): power-of-two unit-count search scored by mean |residual|,
  * then a final per-unit refit with num_af_iterations IRLS steps. weights

@@ -300,3 +300,40 @@ def test_exact_fit_layer_bit_identical():
                     structure, n, attr, rep)
             assert (a.data_buffer[:n].tobytes()
                     == b.data_buffer[:n].tobytes()), (structure, n, rep)
+
+
+def test_exact_train_bit_identical():
+    """The native whole-trainer loop must reproduce the oracle's post-train
+    params, dparams, AND momentum bitwise (momentum feeds nothing today but
+    is the trainer's persistent state)."""
+    from linne_tpu.exact import network as N
+
+    rng = np.random.default_rng(9)
+    for structure, n in [([2, 32], 2560), ([4, 64, 8], 2560)]:
+        data = rng.normal(0, 800, n).round()
+        nets = []
+        for use_native in (True, False):
+            net = N.NetworkState(n, len(structure), max(structure))
+            net.set_layer_structure(n, structure)
+            buf = net.data_buffer
+            buf[:n] = data
+            for layer in net.layers:
+                net._fit_layer(layer, buf, n, 0, 0.0)
+                layer.forward(buf, n)
+            tr = N.TrainerState(len(structure), max(structure))
+            if use_native:
+                tr.train(net, data.astype(np.float64), n, 60, 0.1, 1e-7)
+            else:
+                orig = N._native.available
+                N._native.available = lambda: False
+                try:
+                    tr.train(net, data.astype(np.float64), n, 60, 0.1, 1e-7)
+                finally:
+                    N._native.available = orig
+            nets.append((net, tr))
+        (a, ta), (b, tb) = nets
+        for la, lb in zip(a.layers, b.layers):
+            assert la.params.tobytes() == lb.params.tobytes(), structure
+            assert la.dparams.tobytes() == lb.dparams.tobytes(), structure
+        for ma, mb in zip(ta.momentum, tb.momentum):
+            assert ma.tobytes() == mb.tobytes(), structure
