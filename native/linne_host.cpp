@@ -1109,7 +1109,14 @@ void linne_unpack_bits(const uint32_t* words, int64_t nrows,
 // outputs are independent, so blocks of 4 run together to hide the ~4-cycle
 // add latency; lanes never reorder adds within a chain.
 
+#if defined(__clang__)
+// clang ignores the GCC optimize attribute; this file-scope pragma turns
+// contraction off for everything below it regardless of build flags
+#pragma clang fp contract(off)
+#define LINNE_EXACT_FP
+#else
 #define LINNE_EXACT_FP __attribute__((optimize("fp-contract=off")))
+#endif
 
 // out[lag] = sum_i x[i] * x[i + lag], i serial, for lag in [0, nlags)
 // (oracle: exact/lpc.py:autocorrelation; reference: lpc.c:215-249).

@@ -62,11 +62,13 @@ def test_fit_layer_same_selection_across_routes():
     """The unit-count selection (transmitted!) must agree between routes on
     well-separated losses; coefficients agree to rounding."""
     x = _sig((2, 4, 2, 10240), seed=5)
-    A._MATMUL_ROUTES_OVERRIDE = False
-    ref = A.fit_layer(x, 128, 0.0)
-    A._MATMUL_ROUTES_OVERRIDE = True
-    new = A.fit_layer(x, 128, 0.0)
-    A._MATMUL_ROUTES_OVERRIDE = None
+    try:
+        A._MATMUL_ROUTES_OVERRIDE = False
+        ref = A.fit_layer(x, 128, 0.0)
+        A._MATMUL_ROUTES_OVERRIDE = True
+        new = A.fit_layer(x, 128, 0.0)
+    finally:
+        A._MATMUL_ROUTES_OVERRIDE = None
     assert np.array_equal(np.asarray(ref[0]), np.asarray(new[0]))
     np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(new[1]),
                                atol=1e-10)
