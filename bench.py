@@ -254,6 +254,39 @@ def main() -> None:
                 "decode_mode7_cli_realtime_x": round(py_x, 1),
                 "decode_mode7_vs_c_samebox": round(py_x / c_x, 2),
             }
+            # same-box host ENCODE: the jax-free exact path (byte-identical
+            # bits) vs the C binary on the same signal — no device in
+            # either loop
+            from linne_tpu.exact.encoder import ExactEncoder
+
+            wav_in = os.path.join(td, "in.wav")
+            from linne_tpu.io.wav import write_wav
+            write_wav(wav_in, signal, rate, 16)
+            ts_ce = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                subprocess.run(
+                    [str(ref_cli), "-e", "-m", "7", wav_in,
+                     os.path.join(td, "ce.lnn")],
+                    check=True, capture_output=True)
+                ts_ce.append(time.perf_counter() - t0)
+            ts_xe = []
+            for _ in range(2):
+                xenc = ExactEncoder()
+                xenc.set_encode_parameter(EncodeParameter(
+                    num_channels=2, bits_per_sample=16, sampling_rate=rate,
+                    num_samples_per_block=spb, preset=7,
+                    ch_process_method=1))
+                t0 = time.perf_counter()
+                xenc.encode_whole([signal[0], signal[1]], n)
+                ts_xe.append(time.perf_counter() - t0)
+            ce_x = audio_seconds / min(ts_ce)
+            xe_x = audio_seconds / min(ts_xe)
+            samebox.update({
+                "c_encode_mode7_realtime_x_samebox": round(ce_x, 1),
+                "exact_encode_mode7_realtime_x": round(xe_x, 1),
+                "exact_encode_vs_c_samebox": round(xe_x / ce_x, 2),
+            })
 
     # -- corpus batching (the TPU payoff): cross-track block batching via
     #    encode_many, 4 x ~30s tracks

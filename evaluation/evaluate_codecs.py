@@ -100,6 +100,55 @@ class LinneTpuCodec:
                            100 * len(data) / orig)
 
 
+class ExactCodec:
+    """The jax-free host path: ExactEncoder (byte-identical with the C
+    binary) + the native whole-stream decoder — the no-accelerator
+    deployment. A fresh encoder per timed run mirrors the C CLI's fresh
+    process (the analysis arena's stale-scratch state is part of the
+    byte-exactness contract)."""
+
+    def __init__(self, mode: int, learning: bool = False, af_iters: int = 0):
+        suffix = (" -l" if learning else "") + (
+            f" -a {af_iters}" if af_iters else "")
+        self.name = f"linne_tpu --exact -m {mode}{suffix}"
+        self.mode = mode
+        self.learning = learning
+        self.af_iters = af_iters
+
+    def run(self, wav_path: pathlib.Path, workdir: pathlib.Path) -> CodecResult:
+        from linne_tpu.exact.encoder import ExactEncoder
+
+        fmt, samples = read_wav(str(wav_path))
+        duration = fmt.num_samples / fmt.sampling_rate
+        param = EncodeParameter(
+            num_channels=fmt.num_channels,
+            bits_per_sample=fmt.bits_per_sample,
+            sampling_rate=fmt.sampling_rate,
+            preset=self.mode,
+            enable_learning=self.learning,
+            num_afmethod_iterations=self.af_iters,
+            ch_process_method=(CH_PROCESS_MS if fmt.num_channels >= 2
+                               else CH_PROCESS_NONE))
+        enc_t = float("inf")
+        data = b""
+        for _ in range(3):
+            enc = ExactEncoder()
+            enc.set_encode_parameter(param)
+            t0 = time.perf_counter()
+            data = enc.encode_whole(list(samples), fmt.num_samples)
+            enc_t = min(enc_t, time.perf_counter() - t0)
+        dec_t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decoded = Decoder().decode_whole(data)
+            dec_t = min(dec_t, time.perf_counter() - t0)
+        assert all(np.array_equal(decoded[c], samples[c])
+                   for c in range(fmt.num_channels)), "not lossless!"
+        orig = wav_path.stat().st_size
+        return CodecResult(100 * enc_t / duration, 100 * dec_t / duration,
+                           100 * len(data) / orig)
+
+
 class CliCodec:
     """Shells out to an external codec binary (reference linne, flac, ...)."""
 
@@ -136,7 +185,14 @@ class CliCodec:
 
 
 def build_codecs(args):
-    codecs = [LinneTpuCodec(m) for m in args.modes]
+    if getattr(args, "exact_rows", False):
+        # host-only sweep (no accelerator in the loop): the byte-identical
+        # oracle encoder vs the C binary with the same flags
+        codecs = [ExactCodec(m) for m in args.modes]
+        codecs += [ExactCodec(0, learning=True), ExactCodec(0, af_iters=3),
+                   ExactCodec(7, learning=True), ExactCodec(7, af_iters=3)]
+    else:
+        codecs = [LinneTpuCodec(m) for m in args.modes]
     ref = REPO / ".refbuild" / "linne"
     if getattr(args, "learning_rows", False):
         # quantify the TPU path's -l/-a numerical deviation (true jax.grad
@@ -150,15 +206,19 @@ def build_codecs(args):
                 f"linne(C) -m {m}",
                 [str(ref), "-e", "-m", str(m), "{inp}", "{out}"],
                 [str(ref), "-d", "{inp}", "{out}"], ".lnn"))
-        if getattr(args, "learning_rows", False):
-            codecs.append(CliCodec(
-                "linne(C) -m 0 -l",
-                [str(ref), "-e", "-m", "0", "-l", "{inp}", "{out}"],
-                [str(ref), "-d", "{inp}", "{out}"], ".lnn"))
-            codecs.append(CliCodec(
-                "linne(C) -m 0 -a 3",
-                [str(ref), "-e", "-m", "0", "-a", "3", "{inp}", "{out}"],
-                [str(ref), "-d", "{inp}", "{out}"], ".lnn"))
+        if getattr(args, "learning_rows", False) or getattr(
+                args, "exact_rows", False):
+            flag_modes = [0, 7] if getattr(args, "exact_rows", False) else [0]
+            for m in flag_modes:
+                codecs.append(CliCodec(
+                    f"linne(C) -m {m} -l",
+                    [str(ref), "-e", "-m", str(m), "-l", "{inp}", "{out}"],
+                    [str(ref), "-d", "{inp}", "{out}"], ".lnn"))
+                codecs.append(CliCodec(
+                    f"linne(C) -m {m} -a 3",
+                    [str(ref), "-e", "-m", str(m), "-a", "3", "{inp}",
+                     "{out}"],
+                    [str(ref), "-d", "{inp}", "{out}"], ".lnn"))
     if shutil.which("flac"):
         codecs.append(CliCodec(
             "flac -8", ["flac", "-8", "-f", "-s", "-o", "{out}", "{inp}"],
@@ -296,6 +356,10 @@ def main():
     ap.add_argument("--learning-rows", action="store_true",
                     help="add -m 0 -l and -m 0 -a 3 rows (ours + C) to "
                          "quantify the TPU path's learning/AF deviation")
+    ap.add_argument("--exact-rows", action="store_true",
+                    help="benchmark the jax-free ExactEncoder host path "
+                         "(plus -l/-a rows) against the C CLI instead of "
+                         "the TPU path; writes exact_host_comparison.csv")
     ap.add_argument("--out", default=str(REPO / "evaluation"))
     ap.add_argument("--repeat", type=int, default=1,
                     help="full sweeps; per-cell min of the time metrics "
@@ -342,7 +406,9 @@ def main():
 
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
-    out_path = out_dir / "codec_comparison_summary.csv"
+    out_path = out_dir / (
+        "exact_host_comparison.csv" if getattr(args, "exact_rows", False)
+        else "codec_comparison_summary.csv")
     with open(out_path, "w", newline="") as f:
         w = csv.writer(f)
         genres = sorted({g for c in rows.values() for g in c})
