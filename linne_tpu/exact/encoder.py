@@ -171,12 +171,18 @@ class ExactEncoder:
         side.coefs = all_coefs
 
         residuals = []
+        use_native = _native.available()
         for ch in range(nch):
             signal = buf[ch, :n].copy()
             for l, layer_np in enumerate(preset.layer_num_params):
-                signal = predict(
-                    signal, n, all_coefs[ch][l], all_units[ch][l],
-                    all_rshifts[ch][l])
+                if use_native:
+                    signal = _native.predict_layer(
+                        signal, n, all_coefs[ch][l], all_units[ch][l],
+                        all_rshifts[ch][l])
+                else:
+                    signal = predict(
+                        signal, n, all_coefs[ch][l], all_units[ch][l],
+                        all_rshifts[ch][l])
             residuals.append(signal)
 
         if _native.available():

@@ -331,6 +331,20 @@ def synthesize_block(
         2, int(ms))
 
 
+def predict_layer(data: np.ndarray, n: int, coef: np.ndarray,
+                  num_units: int, rshift: int) -> np.ndarray:
+    """One integer FIR predict stage (encoder side): residual[t] =
+    data[t] + ((half + sum coef*x) >> rshift) per unit, wrapping int32 —
+    same arithmetic as exact/intlpc.py:predict (integer, so any
+    implementation is bit-equal)."""
+    out = np.empty(n, dtype=np.int32)
+    lib().linne_predict_layer(
+        np.ascontiguousarray(data[:n], np.int32), out, n,
+        np.ascontiguousarray(coef, np.int32), coef.shape[0], rshift,
+        num_units)
+    return out
+
+
 def exact_autocorr(x: np.ndarray, nlags: int) -> np.ndarray:
     """Strict serial-order float64 autocorrelation (bit-identical to the
     numpy mul-then-cumsum oracle, exact/lpc.py)."""

@@ -1943,15 +1943,31 @@ int32_t linne_exact_rice_search(const int32_t* data, int64_t n,
             }
             k2_cur[part] = k2;
             const uint32_t k1 = static_cast<uint32_t>(k2) + 1;
-            const uint64_t k1pow = uint64_t(1) << k1;
-            uint64_t total = 0;
             const uint32_t* pu = u.data() + part * nsmpl;
-            for (int64_t i = 0; i < nsmpl; i++) {
-                uint64_t v = pu[i];
-                total += (v < k1pow) ? (k1 + 1)
-                                     : (((v - k1pow) >> k2) + (k2 + 2));
+            if (k2 <= 30) {
+                // all terms fit uint32 and the sum is taken mod 2^32
+                // anyway, so accumulate in uint32 — branchless and
+                // autovectorizable (16 lanes), exact by ring arithmetic
+                const uint32_t k1p = uint32_t(1) << k1;
+                const uint32_t small_cost = k1 + 1;
+                const uint32_t base = static_cast<uint32_t>(k2) + 2;
+                uint32_t t32 = 0;
+                for (int64_t i = 0; i < nsmpl; i++) {
+                    const uint32_t v = pu[i];
+                    t32 += (v < k1p) ? small_cost
+                                     : (((v - k1p) >> k2) + base);
+                }
+                bits += t32;
+            } else {  // k1 = 32: 1 << k1 needs the 64-bit form
+                const uint64_t k1pow = uint64_t(1) << k1;
+                uint64_t total = 0;
+                for (int64_t i = 0; i < nsmpl; i++) {
+                    uint64_t v = pu[i];
+                    total += (v < k1pow) ? (k1 + 1)
+                                         : (((v - k1pow) >> k2) + (k2 + 2));
+                }
+                bits += static_cast<uint32_t>(total);
             }
-            bits += static_cast<uint32_t>(total);
             if (part == 0) {
                 bits += 5;  // RICE_PARAMETER_BITS
             } else {
