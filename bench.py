@@ -94,13 +94,17 @@ def _degraded_host_bench(rate: int, spb: int) -> None:
     streams = {}
     exact_x = {}
     for mode in (0, 7):
-        enc = ExactEncoder()
-        enc.set_encode_parameter(EncodeParameter(
-            num_channels=2, bits_per_sample=16, sampling_rate=rate,
-            num_samples_per_block=spb, preset=mode, ch_process_method=1))
-        t0 = time.perf_counter()
-        streams[mode] = enc.encode_whole([signal[0], signal[1]], n)
-        exact_x[mode] = audio_seconds / (time.perf_counter() - t0)
+        best = float("inf")
+        for _ in range(2):
+            enc = ExactEncoder()
+            enc.set_encode_parameter(EncodeParameter(
+                num_channels=2, bits_per_sample=16, sampling_rate=rate,
+                num_samples_per_block=spb, preset=mode,
+                ch_process_method=1))
+            t0 = time.perf_counter()
+            streams[mode] = enc.encode_whole([signal[0], signal[1]], n)
+            best = min(best, time.perf_counter() - t0)
+        exact_x[mode] = audio_seconds / best
     decs = {}
     for mode, data in streams.items():
         dec = Decoder()
@@ -112,6 +116,41 @@ def _degraded_host_bench(rate: int, spb: int) -> None:
             dec.decode_whole(data)
             ts.append(time.perf_counter() - t0)
         decs[mode] = audio_seconds / min(ts)
+    # same-box C comparison (both loops host-only): even a degraded
+    # artifact should carry beat-the-reference evidence
+    samebox = {}
+    ref_cli = pathlib.Path(os.environ.get(
+        "LINNE_REFERENCE_CLI",
+        pathlib.Path(__file__).resolve().parent / ".refbuild" / "linne"))
+    if ref_cli.is_file() and os.access(ref_cli, os.X_OK):
+        from linne_tpu.io.wav import write_wav
+
+        with tempfile.TemporaryDirectory() as td:
+            wav_in = os.path.join(td, "in.wav")
+            write_wav(wav_in, signal, rate, 16)
+            lnn = os.path.join(td, "m7.lnn")
+            with open(lnn, "wb") as f:
+                f.write(streams[7])
+            ts_ce, ts_cd = [], []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                subprocess.run(
+                    [str(ref_cli), "-e", "-m", "7", wav_in,
+                     os.path.join(td, "ce.lnn")],
+                    check=True, capture_output=True)
+                ts_ce.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                subprocess.run([str(ref_cli), "-d", lnn,
+                                os.path.join(td, "c.wav")],
+                               check=True, capture_output=True)
+                ts_cd.append(time.perf_counter() - t0)
+            ce_x = audio_seconds / min(ts_ce)
+            cd_x = audio_seconds / min(ts_cd)
+            samebox = {
+                "c_encode_mode7_realtime_x_samebox": round(ce_x, 1),
+                "exact_encode_vs_c_samebox": round(exact_x[7] / ce_x, 2),
+                "c_decode_mode7_realtime_x_samebox": round(cd_x, 1),
+            }
     msamp = 2 * n / 1e6
     print(json.dumps({
         "metric": "mode7_encode_realtime_x",
@@ -128,6 +167,7 @@ def _degraded_host_bench(rate: int, spb: int) -> None:
         "decode_mode7_realtime_x": round(decs[7], 1),
         "decode_mode7_vs_c_ref_hw": round(decs[7] / BASELINE_DECODE_X[7], 2),
         "decode_mode7_msamples_s": round(msamp * decs[7] / audio_seconds, 1),
+        **samebox,
     }))
     print("# TPU tunnel unreachable: encode metrics skipped, host decode "
           "metrics only", file=sys.stderr)
