@@ -146,6 +146,11 @@ def test_exact_rice_search_matches_python():
         rng.laplace(0, 80, n).astype(np.int32),
         rng.laplace(0, 80, 777).astype(np.int32),   # odd n: porder 0 only
         rng.laplace(0, 80, 2048).astype(np.int32),  # deep partition grid
+        # int32-extreme planes: k2 reaches 30/31 (the 64-bit k1=32 branch)
+        # and the uint32 cost accumulator wraps — both must match the
+        # python model's mod-2^32 arithmetic
+        rng.integers(-2**31, 2**31, n).astype(np.int32),
+        np.where(np.arange(n) % 2 == 0, 2**31 - 1, -2**31).astype(np.int32),
     ]
     for plane in planes:
         po_n, k2_n = native.exact_rice_search(plane)
@@ -337,3 +342,33 @@ def test_exact_train_bit_identical():
             assert la.dparams.tobytes() == lb.dparams.tobytes(), structure
         for ma, mb in zip(ta.momentum, tb.momentum):
             assert ma.tobytes() == mb.tobytes(), structure
+
+
+def test_native_predict_layer_matches_oracle():
+    """linne_predict_layer vs the numpy predict oracle across edge shapes:
+    int32-extreme data (wrap territory), rshift 0 (corrupt-stream
+    convention half=0), unit tails (num_units not dividing n), and the
+    ns <= npu passthrough case."""
+    from linne_tpu.exact.intlpc import predict
+
+    rng = np.random.default_rng(91)
+    cases = []
+    for num_units in (1, 2, 4, 8):
+        for order_pu in (1, 4, 32):
+            order = order_pu * num_units
+            for n in (2048, 2048 + 13 * num_units + 3, num_units * order_pu):
+                for rshift in (0, 1, 14, 15):
+                    cases.append((n, order, num_units, rshift))
+    for n, order, num_units, rshift in cases:
+        data = rng.integers(-2**31, 2**31, n).astype(np.int32)
+        coef = rng.integers(-128, 128, order).astype(np.int32)
+        got = native.predict_layer(data, n, coef, num_units, rshift)
+        want = predict(data, n, coef, num_units, rshift)
+        assert np.array_equal(got, want), (n, order, num_units, rshift)
+    # extreme coefficients at full magnitude: products wrap int32
+    n, num_units = 4096, 4
+    coef = np.where(np.arange(64) % 2 == 0, 127, -128).astype(np.int32)
+    data = np.where(np.arange(n) % 2 == 0, 2**31 - 1, -2**31).astype(np.int32)
+    got = native.predict_layer(data, n, coef, num_units, 15)
+    want = predict(data, n, coef, num_units, 15)
+    assert np.array_equal(got, want)
