@@ -79,6 +79,25 @@ def _device_responds(timeout_s: float = 240.0) -> bool:
     return bool(done)
 
 
+def _ref_cli():
+    """Path to the reference C binary, or None. One resolution for every
+    same-box comparison block."""
+    p = pathlib.Path(os.environ.get(
+        "LINNE_REFERENCE_CLI",
+        pathlib.Path(__file__).resolve().parent / ".refbuild" / "linne"))
+    return p if p.is_file() and os.access(p, os.X_OK) else None
+
+
+def _time_cli(cmd, reps: int) -> float:
+    """Best-of-reps wall time of one external CLI invocation."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        subprocess.run(cmd, check=True, capture_output=True)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _degraded_host_bench(rate: int, spb: int) -> None:
     """TPU unreachable: emit the host-side decode metrics (which need no
     device) over exact-encoder-produced streams, with the headline encode
@@ -117,40 +136,34 @@ def _degraded_host_bench(rate: int, spb: int) -> None:
             ts.append(time.perf_counter() - t0)
         decs[mode] = audio_seconds / min(ts)
     # same-box C comparison (both loops host-only): even a degraded
-    # artifact should carry beat-the-reference evidence
+    # artifact should carry beat-the-reference evidence. Any failure here
+    # must not lose the metrics computed above — a partial artifact beats
+    # no artifact.
     samebox = {}
-    ref_cli = pathlib.Path(os.environ.get(
-        "LINNE_REFERENCE_CLI",
-        pathlib.Path(__file__).resolve().parent / ".refbuild" / "linne"))
-    if ref_cli.is_file() and os.access(ref_cli, os.X_OK):
-        from linne_tpu.io.wav import write_wav
+    ref_cli = _ref_cli()
+    if ref_cli is not None:
+        try:
+            from linne_tpu.io.wav import write_wav
 
-        with tempfile.TemporaryDirectory() as td:
-            wav_in = os.path.join(td, "in.wav")
-            write_wav(wav_in, signal, rate, 16)
-            lnn = os.path.join(td, "m7.lnn")
-            with open(lnn, "wb") as f:
-                f.write(streams[7])
-            ts_ce, ts_cd = [], []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                subprocess.run(
-                    [str(ref_cli), "-e", "-m", "7", wav_in,
-                     os.path.join(td, "ce.lnn")],
-                    check=True, capture_output=True)
-                ts_ce.append(time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                subprocess.run([str(ref_cli), "-d", lnn,
-                                os.path.join(td, "c.wav")],
-                               check=True, capture_output=True)
-                ts_cd.append(time.perf_counter() - t0)
-            ce_x = audio_seconds / min(ts_ce)
-            cd_x = audio_seconds / min(ts_cd)
-            samebox = {
-                "c_encode_mode7_realtime_x_samebox": round(ce_x, 1),
-                "exact_encode_vs_c_samebox": round(exact_x[7] / ce_x, 2),
-                "c_decode_mode7_realtime_x_samebox": round(cd_x, 1),
-            }
+            with tempfile.TemporaryDirectory() as td:
+                wav_in = os.path.join(td, "in.wav")
+                write_wav(wav_in, signal, rate, 16)
+                lnn = os.path.join(td, "m7.lnn")
+                with open(lnn, "wb") as f:
+                    f.write(streams[7])
+                ce = _time_cli([str(ref_cli), "-e", "-m", "7", wav_in,
+                                os.path.join(td, "ce.lnn")], 2)
+                cd = _time_cli([str(ref_cli), "-d", lnn,
+                                os.path.join(td, "c.wav")], 2)
+                ce_x = audio_seconds / ce
+                samebox = {
+                    "c_encode_mode7_realtime_x_samebox": round(ce_x, 1),
+                    "exact_encode_vs_c_samebox": round(exact_x[7] / ce_x, 2),
+                    "c_decode_mode7_realtime_x_samebox": round(
+                        audio_seconds / cd, 1),
+                }
+        except Exception as e:  # noqa: BLE001
+            print(f"# samebox C comparison failed: {e!r}", file=sys.stderr)
     msamp = 2 * n / 1e6
     print(json.dumps({
         "metric": "mode7_encode_realtime_x",
@@ -265,68 +278,60 @@ def main() -> None:
     #    on the upstream author's machine; when the C binary is present,
     #    also time it HERE on the same stream for an apples-to-apples ratio)
     samebox = {}
-    ref_cli = pathlib.Path(os.environ.get(
-        "LINNE_REFERENCE_CLI",
-        pathlib.Path(__file__).resolve().parent / ".refbuild" / "linne"))
-    if ref_cli.is_file() and os.access(ref_cli, os.X_OK):
-        from linne_tpu import cli as _cli
+    ref_cli = _ref_cli()
+    if ref_cli is not None:
+        try:
+            from linne_tpu import cli as _cli
 
-        with tempfile.TemporaryDirectory() as td:
-            lnn = os.path.join(td, "m7.lnn")
-            wav_c = os.path.join(td, "c.wav")
-            wav_py = os.path.join(td, "py.wav")
-            with open(lnn, "wb") as f:
-                f.write(data)
-            # both sides include entropy decode + synthesis + WAV write
-            ts_c, ts_py = [], []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                subprocess.run([str(ref_cli), "-d", lnn, wav_c],
-                               check=True, capture_output=True)
-                ts_c.append(time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                _cli.main(["-d", lnn, wav_py])
-                ts_py.append(time.perf_counter() - t0)
-            c_x = audio_seconds / min(ts_c)
-            py_x = audio_seconds / min(ts_py)
-            samebox = {
-                "c_decode_mode7_realtime_x_samebox": round(c_x, 1),
-                "decode_mode7_cli_realtime_x": round(py_x, 1),
-                "decode_mode7_vs_c_samebox": round(py_x / c_x, 2),
-            }
-            # same-box host ENCODE: the jax-free exact path (byte-identical
-            # bits) vs the C binary on the same signal — no device in
-            # either loop
-            from linne_tpu.exact.encoder import ExactEncoder
+            with tempfile.TemporaryDirectory() as td:
+                lnn = os.path.join(td, "m7.lnn")
+                wav_c = os.path.join(td, "c.wav")
+                wav_py = os.path.join(td, "py.wav")
+                with open(lnn, "wb") as f:
+                    f.write(data)
+                # both sides include entropy decode + synthesis + WAV write
+                c_dec = _time_cli([str(ref_cli), "-d", lnn, wav_c], 3)
+                ts_py = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _cli.main(["-d", lnn, wav_py])
+                    ts_py.append(time.perf_counter() - t0)
+                c_x = audio_seconds / c_dec
+                py_x = audio_seconds / min(ts_py)
+                samebox = {
+                    "c_decode_mode7_realtime_x_samebox": round(c_x, 1),
+                    "decode_mode7_cli_realtime_x": round(py_x, 1),
+                    "decode_mode7_vs_c_samebox": round(py_x / c_x, 2),
+                }
+                # same-box host ENCODE: the jax-free exact path
+                # (byte-identical bits) vs the C binary on the same signal
+                # — no device in either loop
+                from linne_tpu.exact.encoder import ExactEncoder
 
-            wav_in = os.path.join(td, "in.wav")
-            from linne_tpu.io.wav import write_wav
-            write_wav(wav_in, signal, rate, 16)
-            ts_ce = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                subprocess.run(
-                    [str(ref_cli), "-e", "-m", "7", wav_in,
-                     os.path.join(td, "ce.lnn")],
-                    check=True, capture_output=True)
-                ts_ce.append(time.perf_counter() - t0)
-            ts_xe = []
-            for _ in range(2):
-                xenc = ExactEncoder()
-                xenc.set_encode_parameter(EncodeParameter(
-                    num_channels=2, bits_per_sample=16, sampling_rate=rate,
-                    num_samples_per_block=spb, preset=7,
-                    ch_process_method=1))
-                t0 = time.perf_counter()
-                xenc.encode_whole([signal[0], signal[1]], n)
-                ts_xe.append(time.perf_counter() - t0)
-            ce_x = audio_seconds / min(ts_ce)
-            xe_x = audio_seconds / min(ts_xe)
-            samebox.update({
-                "c_encode_mode7_realtime_x_samebox": round(ce_x, 1),
-                "exact_encode_mode7_realtime_x": round(xe_x, 1),
-                "exact_encode_vs_c_samebox": round(xe_x / ce_x, 2),
-            })
+                wav_in = os.path.join(td, "in.wav")
+                from linne_tpu.io.wav import write_wav
+                write_wav(wav_in, signal, rate, 16)
+                ce = _time_cli([str(ref_cli), "-e", "-m", "7", wav_in,
+                                os.path.join(td, "ce.lnn")], 2)
+                ts_xe = []
+                for _ in range(2):
+                    xenc = ExactEncoder()
+                    xenc.set_encode_parameter(EncodeParameter(
+                        num_channels=2, bits_per_sample=16,
+                        sampling_rate=rate, num_samples_per_block=spb,
+                        preset=7, ch_process_method=1))
+                    t0 = time.perf_counter()
+                    xenc.encode_whole([signal[0], signal[1]], n)
+                    ts_xe.append(time.perf_counter() - t0)
+                ce_x = audio_seconds / ce
+                xe_x = audio_seconds / min(ts_xe)
+                samebox.update({
+                    "c_encode_mode7_realtime_x_samebox": round(ce_x, 1),
+                    "exact_encode_mode7_realtime_x": round(xe_x, 1),
+                    "exact_encode_vs_c_samebox": round(xe_x / ce_x, 2),
+                })
+        except Exception as e:  # noqa: BLE001
+            print(f"# samebox C comparison failed: {e!r}", file=sys.stderr)
 
     # -- corpus batching (the TPU payoff): cross-track block batching via
     #    encode_many, 4 x ~30s tracks

@@ -485,10 +485,10 @@ class TpuEncoder:
                 for start in range(0, num_full, bb):
                     chunk = blocks[start : start + bb]
                     real = chunk.shape[0]
-                    if real < bb:
-                        # pad to the standard batch shape to avoid an extra
-                        # compile specialization; pad rows dropped in drain
-                        pad = np.zeros((bb - real,) + chunk.shape[1:],
+                    cover = self._batch_cover(real)
+                    if real < cover:
+                        # pad rows are dropped in drain
+                        pad = np.zeros((cover - real,) + chunk.shape[1:],
                                        np.int32)
                         chunk = np.concatenate([chunk, pad], axis=0)
                     yield (chunk, spb, real)
@@ -542,6 +542,21 @@ class TpuEncoder:
             pending.append(self._dispatch_batch(chunk, n, real))
         while pending:
             yield pending.popleft()
+
+    def _batch_cover(self, real: int) -> int:
+        """Device batch rows for a partial batch of `real` real blocks: the
+        pow-2 cover, floored at 8 and capped at batch_blocks. Padding all
+        the way to batch_blocks shipped up to 16x the needed bytes for
+        short tracks, and transfers are the measured encode bottleneck
+        (docs/PROFILE_r2.md/PROFILE_r3.md) — a 5 s track (23 blocks) padded
+        to 128 paid 5.5x its H2D+D2H. Rows are independent (the trainer
+        already slices to the same cover, ops/training.py), so emitted
+        bytes are unchanged; each distinct cover costs one extra compile
+        specialization, amortized by the persistent jit cache."""
+        c = 8
+        while c < real:
+            c *= 2
+        return min(c, self.batch_blocks)
 
     def _use_host_tail(self, n: int) -> bool:
         """Whether tail blocks of length n should take the bit-exact host
@@ -703,8 +718,9 @@ class TpuEncoder:
                 for start in range(0, blocks.shape[0], bb):
                     chunk = blocks[start : start + bb]
                     real = chunk.shape[0]
-                    if real < bb:
-                        pad = np.zeros((bb - real,) + chunk.shape[1:],
+                    cover = self._batch_cover(real)
+                    if real < cover:
+                        pad = np.zeros((cover - real,) + chunk.shape[1:],
                                        np.int32)
                         chunk = np.concatenate([chunk, pad], axis=0)
                     yield (chunk, spb, real)

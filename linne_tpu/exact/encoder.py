@@ -172,20 +172,16 @@ class ExactEncoder:
 
         residuals = []
         use_native = _native.available()
+        predict_fn = _native.predict_layer if use_native else predict
         for ch in range(nch):
             signal = buf[ch, :n].copy()
             for l, layer_np in enumerate(preset.layer_num_params):
-                if use_native:
-                    signal = _native.predict_layer(
-                        signal, n, all_coefs[ch][l], all_units[ch][l],
-                        all_rshifts[ch][l])
-                else:
-                    signal = predict(
-                        signal, n, all_coefs[ch][l], all_units[ch][l],
-                        all_rshifts[ch][l])
+                signal = predict_fn(
+                    signal, n, all_coefs[ch][l], all_units[ch][l],
+                    all_rshifts[ch][l])
             residuals.append(signal)
 
-        if _native.available():
+        if use_native:
             # native emission: exact Rice search (bit-identical to
             # format.rice.choose_partition) + the same native bit packer the
             # production drain uses. Byte-equality with the python

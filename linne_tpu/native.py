@@ -337,6 +337,9 @@ def predict_layer(data: np.ndarray, n: int, coef: np.ndarray,
     data[t] + ((half + sum coef*x) >> rshift) per unit, wrapping int32 —
     same arithmetic as exact/intlpc.py:predict (integer, so any
     implementation is bit-equal)."""
+    if data.shape[0] < n:
+        raise ValueError(f"predict_layer: n={n} exceeds len(data)="
+                         f"{data.shape[0]}")
     out = np.empty(n, dtype=np.int32)
     lib().linne_predict_layer(
         np.ascontiguousarray(data[:n], np.int32), out, n,

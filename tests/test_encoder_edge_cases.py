@@ -59,6 +59,16 @@ def test_partial_batch_padding():
     _roundtrip(samples, batch_blocks=4)
 
 
+def test_partial_batch_pow2_cover_bytes_stable():
+    """A partial batch pads to the pow-2 cover of its real rows, not to
+    batch_blocks (encoder._batch_cover); the padding width and the batch
+    split must not affect emitted bytes."""
+    samples = WAVEFORMS["gauss"](2560 * 9, 2, 16)
+    a = _roundtrip(samples, batch_blocks=64)  # one batch: 9 real, cover 16
+    b = _roundtrip(samples, batch_blocks=4)   # splits 4+4+1, covers 4/4/8->4
+    assert a == b
+
+
 def test_encode_many_matches_encode_whole():
     tracks = [WAVEFORMS["gauss"](2560 * 2 + 100, 2, 16),
               WAVEFORMS["sine"](2560, 2, 16),
