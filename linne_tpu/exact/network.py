@@ -59,6 +59,38 @@ def _fit_layer_levels(num_params: int, n: int):
     return hit
 
 
+# (per-layer num_params tuple, n) -> concatenated level tables for the
+# native whole-network sweep: per-layer slices into one level_units/w_off
+# pair, with w_off entries absolute into the concatenated Welch weights
+# (built from the per-layer oracle caches above).
+_fit_network_cache: dict = {}
+
+
+def _fit_network_tables(num_params_t: tuple, n: int):
+    key = (num_params_t, n)
+    hit = _fit_network_cache.get(key)
+    if hit is None:
+        units_parts, woff_parts, weight_parts = [], [], []
+        level_off = np.zeros(len(num_params_t), dtype=np.int32)
+        level_cnt = np.zeros(len(num_params_t), dtype=np.int32)
+        wbase = 0
+        for l, p in enumerate(num_params_t):
+            levels, ws, w_off = _fit_layer_levels(p, n)
+            level_off[l] = sum(u.shape[0] for u in units_parts)
+            level_cnt[l] = levels.shape[0]
+            units_parts.append(levels)
+            woff_parts.append(w_off + wbase)
+            weight_parts.append(ws)
+            wbase += ws.shape[0]
+        hit = (np.asarray(num_params_t, dtype=np.int32),
+               np.concatenate(units_parts),
+               level_off, level_cnt,
+               np.concatenate(woff_parts),
+               np.concatenate(weight_parts))
+        _fit_network_cache[key] = hit
+    return hit
+
+
 def _sliding_matrix(x: np.ndarray, n: int, order: int) -> np.ndarray:
     """W[t, j] = x_padded[t - order + j], j = 0..order-1, where x_padded has
     `order` zeros of left context. Matches the reference convolution layout
@@ -262,7 +294,44 @@ class NetworkState:
         regular_terms: Sequence[float],
     ) -> None:
         """Ridge-candidate sweep, then final refit with the requested AF
-        iteration count (linne_network.c:605-630)."""
+        iteration count (linne_network.c:605-630). The whole search runs as
+        ONE native call when the envelope allows (linne_exact_fit_network,
+        bit-identical incl. arena post-state; pinned by
+        tests/test_exact_native_helpers.py) — the per-(ridge x layer)
+        crossings and numpy forward glue dominated the remaining
+        ExactEncoder profile. The envelope prechecks below mirror
+        linne_host.h: a mid-sweep native bail would leave the arena
+        part-mutated, so every bail condition must be excluded up front."""
+        if (_native.available() and self.layers and len(regular_terms) > 0
+                and all(0 < L.num_params <= 258 and n > L.num_params
+                        for L in self.layers)):
+            (num_params_arr, level_units, level_off, level_cnt, w_off,
+             weights) = _fit_network_tables(
+                tuple(L.num_params for L in self.layers), n)
+            params = np.empty(int(num_params_arr.sum()), dtype=np.float64)
+            units = np.empty(len(self.layers), dtype=np.int32)
+            st = _native.exact_fit_network(
+                np.ascontiguousarray(data[:n], np.float64), n,
+                num_params_arr, num_afmethod_iterations,
+                np.ascontiguousarray(regular_terms, np.float64),
+                FLT_EPSILON, FLT_MAX, weights, w_off, level_units,
+                level_off, level_cnt, self.lpcc.buffer, self.lpcc.auto_corr,
+                self.lpcc.lpc_coef, self.lpcc.parcor_coef, params, units,
+                self.data_buffer, self._pred_scratch(n))
+            if st == 0:
+                off = 0
+                for l, layer in enumerate(self.layers):
+                    layer.params[:] = params[off : off + layer.num_params]
+                    layer.num_units = int(units[l])
+                    off += layer.num_params
+                return
+        self._set_units_and_parameters_py(
+            data, n, num_afmethod_iterations, regular_terms)
+
+    def _set_units_and_parameters_py(
+        self, data: np.ndarray, n: int, num_afmethod_iterations: int,
+        regular_terms: Sequence[float],
+    ) -> None:
         min_loss = FLT_MAX
         best_i = 0
         for i, term in enumerate(regular_terms):

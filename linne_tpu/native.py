@@ -175,6 +175,14 @@ def _load():
             _f64p, _i64p, _i32p, ctypes.c_int32,
             _f64p, _f64p, _f64p, _f64p, _f64p, _f64p,
         ]
+
+        lib.linne_exact_fit_network.restype = ctypes.c_int32
+        lib.linne_exact_fit_network.argtypes = [
+            _f64p, ctypes.c_int64, ctypes.c_int32, _i32p, ctypes.c_int32,
+            _f64p, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+            _f64p, _i64p, _i32p, _i32p, _i32p,
+            _f64p, _f64p, _f64p, _f64p, _f64p, _i32p, _f64p, _f64p,
+        ]
         _lib = lib
         return _lib
 
@@ -444,6 +452,29 @@ def exact_fit_layer(
         data, n, num_params, num_af_iterations, regular_term, flt_eps,
         flt_max, weights, w_off, level_units, level_units.shape[0],
         buffer, auto_corr, lpc_coef, parcor_coef, params_out,
+        pred_scratch))
+
+
+def exact_fit_network(
+    data: np.ndarray, n: int, num_params: np.ndarray,
+    num_af_iterations: int, ridge_terms: np.ndarray, flt_eps: float,
+    flt_max: float, weights: np.ndarray, w_off: np.ndarray,
+    level_units: np.ndarray, level_off: np.ndarray, level_cnt: np.ndarray,
+    buffer: np.ndarray, auto_corr: np.ndarray, lpc_coef: np.ndarray,
+    parcor_coef: np.ndarray, params_out: np.ndarray, units_out: np.ndarray,
+    data_buffer: np.ndarray, pred_scratch: np.ndarray,
+) -> int:
+    """Whole-network ridge sweep + final refit for one block-channel,
+    bit-identical to the oracle's search (exact/network.py:
+    set_units_and_parameters; reference: linne_network.c:582-630). Mutates
+    the arena arrays, params_out (per-layer taps concatenated), units_out
+    and data_buffer. Callers must precheck the envelope (see linne_host.h);
+    returns 0 on success."""
+    return int(lib().linne_exact_fit_network(
+        data, n, num_params.shape[0], num_params, num_af_iterations,
+        ridge_terms, ridge_terms.shape[0], flt_eps, flt_max, weights,
+        w_off, level_units, level_off, level_cnt, buffer, auto_corr,
+        lpc_coef, parcor_coef, params_out, units_out, data_buffer,
         pred_scratch))
 
 

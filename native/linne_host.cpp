@@ -1863,6 +1863,79 @@ int32_t linne_exact_fit_layer(
     return best;
 }
 
+// Whole-network ridge sweep: the encoder's full per-(block, channel) model
+// search (oracle: exact/network.py:set_units_and_parameters; reference:
+// linne_network.c:582-630) in ONE native call. For every ridge candidate it
+// copies the signal into data_buffer, fits each layer in turn
+// (linne_exact_fit_layer, arena semantics preserved) and forwards the
+// residual (out-of-place unit predict added in [1, n)), scoring the serial
+// mean |residual|; the best candidate (strict <, first minimum) is then
+// refit with the caller's AF iteration count. Folding the sweep removes the
+// remaining per-(ridge x layer) Python->C crossings and the oracle's numpy
+// forward glue, which dominated the ExactEncoder profile after the
+// per-layer fold. Level tables are the per-layer oracle caches concatenated:
+// layer l's levels live at level_units[level_off[l] : +level_cnt[l]] with
+// Welch windows at weights + w_off[same slice] (w_off entries are absolute
+// into weights). Writes params_out (per-layer taps, concatenated),
+// units_out[num_layers], data_buffer[0:n] (the final residual, matching the
+// oracle's post-state) and pred_scratch[0:n]. Returns 0, or -1 when a layer
+// fit can't reproduce the oracle. Callers MUST precheck the bail conditions
+// (num_params in (0, 258], n > num_params per layer, oracle-built level
+// tables) before calling: a mid-sweep -1 leaves the arena part-mutated, and
+// the stale-scratch reads make a restarted fallback diverge from the
+// oracle. With those prechecks, -1 is only reachable on inputs where the
+// oracle itself asserts (all-NaN losses leave best == 0).
+LINNE_EXACT_FP
+int32_t linne_exact_fit_network(
+    const double* data, int64_t n, int32_t num_layers,
+    const int32_t* num_params, int32_t num_af_iterations,
+    const double* ridge_terms, int32_t num_ridges, double flt_eps,
+    double flt_max, const double* weights, const int64_t* w_off,
+    const int32_t* level_units, const int32_t* level_off,
+    const int32_t* level_cnt, double* buffer, double* auto_corr,
+    double* lpc_coef, double* parcor_coef, double* params_out,
+    int32_t* units_out, double* data_buffer, double* pred_scratch) {
+    if (num_layers <= 0 || num_ridges <= 0 || n <= 0) return -1;
+    double min_loss = flt_max;
+    int32_t best_i = 0;
+    // sweep pass i = 0..num_ridges-1 scores candidate i with af=0; pass
+    // num_ridges is the final refit of the winner (oracle line order)
+    for (int32_t pass = 0; pass <= num_ridges; pass++) {
+        const int32_t ridge_i = (pass < num_ridges) ? pass : best_i;
+        const int32_t af = (pass < num_ridges) ? 0 : num_af_iterations;
+        const double term = ridge_terms[ridge_i];
+        std::memcpy(data_buffer, data, sizeof(double) * size_t(n));
+        int64_t poff = 0;
+        for (int32_t l = 0; l < num_layers; l++) {
+            const int32_t lo = level_off[l];
+            const int32_t units = linne_exact_fit_layer(
+                data_buffer, n, num_params[l], af, term, flt_eps, flt_max,
+                weights, w_off + lo, level_units + lo, level_cnt[l], buffer,
+                auto_corr, lpc_coef, parcor_coef, params_out + poff,
+                pred_scratch);
+            if (units <= 0) return -1;
+            units_out[l] = units;
+            // forward: residual += prediction, sample 0 untouched
+            // (oracle: exact/network.py:LayerState.forward)
+            linne_exact_unit_predict(data_buffer, n, params_out + poff,
+                                     units, num_params[l] / units, 0,
+                                     pred_scratch);
+            for (int64_t t = 1; t < n; t++) data_buffer[t] += pred_scratch[t];
+            poff += num_params[l];
+        }
+        if (pass < num_ridges) {
+            double s = 0.0;  // serial |residual| fold, sample order
+            for (int64_t t = 0; t < n; t++) s += std::fabs(data_buffer[t]);
+            const double loss = s / static_cast<double>(n);
+            if (loss < min_loss) {
+                min_loss = loss;
+                best_i = pass;
+            }
+        }
+    }
+    return 0;
+}
+
 // Partitioned-Rice parameter search with the oracle's exact arithmetic
 // (format/rice.py:choose_partition; reference: linne_coder.c:217-279):
 // uint64 finest partition sums, float64 halving-merge means, libm log for

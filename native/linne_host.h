@@ -161,6 +161,28 @@ int32_t linne_exact_fit_layer(
     double* auto_corr, double* lpc_coef, double* parcor_coef,
     double* params_out, double* pred_scratch);
 
+/* Whole-network ridge sweep (exact arithmetic of the encoder's full model
+ * search for one block-channel): for each ridge candidate, fit every layer
+ * (linne_exact_fit_layer) and forward the residual, scoring the serial mean
+ * |residual|; the winner is refit with num_af_iterations. Level tables are
+ * the per-layer tables concatenated: layer l's levels occupy
+ * level_units[level_off[l] .. +level_cnt[l]) and w_off entries are absolute
+ * offsets into weights. Writes params_out (per-layer taps concatenated),
+ * units_out[num_layers], data_buffer[0:n] (final residual) and
+ * pred_scratch[0:n]. Returns 0, or -1 on an unsupported envelope — callers
+ * must precheck (num_params[l] in (0, 258] and n > num_params[l] for every
+ * layer, level tables built like the encoder's) because a mid-sweep bail
+ * leaves the analysis scratch part-mutated. */
+int32_t linne_exact_fit_network(
+    const double* data, int64_t n, int32_t num_layers,
+    const int32_t* num_params, int32_t num_af_iterations,
+    const double* ridge_terms, int32_t num_ridges, double flt_eps,
+    double flt_max, const double* weights, const int64_t* w_off,
+    const int32_t* level_units, const int32_t* level_off,
+    const int32_t* level_cnt, double* buffer, double* auto_corr,
+    double* lpc_coef, double* parcor_coef, double* params_out,
+    int32_t* units_out, double* data_buffer, double* pred_scratch);
+
 /* Partitioned-Rice parameter search (exact arithmetic of the encoder's
  * search): writes the winning per-partition k2 into k2s[0 : 1 << porder]
  * (caller provides room for 1024) and returns the winning porder. */

@@ -307,6 +307,45 @@ def test_exact_fit_layer_bit_identical():
                     == b.data_buffer[:n].tobytes()), (structure, n, rep)
 
 
+def test_exact_fit_network_bit_identical():
+    """The native whole-network ridge sweep (every ridge candidate fit +
+    forward + loss, then the winner's refit, in ONE call) must reproduce
+    the Python-orchestrated search bitwise: per-layer params and unit
+    choices, the residual left in data_buffer, and the analysis arena's
+    post-state (stale contents feed later blocks)."""
+    from linne_tpu.exact.network import NetworkState
+
+    rng = np.random.default_rng(31)
+    cases = [
+        # (layer structure, n, af iters, ridge candidates)
+        ([32, 8], 2048, 0, [0.0, 1e-5, 1e-4]),
+        ([128, 16, 4], 2048, 2, [0.0, 1e-5, 1e-4, 1e-2]),
+        ([16, 4], 1023, 1, [0.0, 1e-4]),   # odd n: stale window-mid reads
+        ([4], 640, 3, [1e-6]),             # single ridge: sweep + refit
+    ]
+    for structure, n, af, ridges in cases:
+        a = NetworkState(n, len(structure), max(structure))
+        b = NetworkState(n, len(structure), max(structure))
+        a.set_layer_structure(n, structure)
+        b.set_layer_structure(n, structure)
+        # sequential blocks exercise stale-arena carryover across calls
+        for blk in range(3):
+            sig = (np.cumsum(rng.normal(0, 300, n))
+                   + 2000 * np.sin(np.arange(n) * 0.03 * (blk + 1)))
+            a.set_units_and_parameters(sig.copy(), n, af, ridges)
+            b._set_units_and_parameters_py(sig.copy(), n, af, ridges)
+            for la, lb in zip(a.layers, b.layers):
+                assert la.num_units == lb.num_units, (structure, n, blk)
+                assert la.params.tobytes() == lb.params.tobytes(), (
+                    structure, n, blk)
+            assert (a.data_buffer[:n].tobytes()
+                    == b.data_buffer[:n].tobytes()), (structure, n, blk)
+            for attr in ("buffer", "auto_corr", "lpc_coef", "parcor_coef"):
+                assert (getattr(a.lpcc, attr).tobytes()
+                        == getattr(b.lpcc, attr).tobytes()), (
+                    structure, n, attr, blk)
+
+
 def test_exact_train_bit_identical():
     """The native whole-trainer loop must reproduce the oracle's post-train
     params, dparams, AND momentum bitwise (momentum feeds nothing today but
