@@ -23,7 +23,7 @@
 #include <thread>
 #include <vector>
 
-#if defined(__AVX512F__)
+#if defined(__AVX512F__) || (defined(__PCLMUL__) && defined(__SSE2__))
 #include <immintrin.h>
 #endif
 
@@ -455,10 +455,10 @@ struct Crc16Table {
 };
 }  // namespace
 
-uint16_t linne_crc16(const uint8_t* data, uint64_t size) {
+namespace {
+uint16_t crc16_table_path(const uint8_t* data, uint64_t size, uint16_t crc) {
     // C++11 magic-static init: thread-safe for the decode worker pool
     static const Crc16Table table;
-    uint16_t crc = 0;
     while (size >= 8) {
         uint64_t w;
         std::memcpy(&w, data, 8);
@@ -476,6 +476,93 @@ uint16_t linne_crc16(const uint8_t* data, uint64_t size) {
             (crc >> 8) ^ table.t[0][(crc ^ data[i]) & 0xFF]);
     return crc;
 }
+}  // namespace
+
+#if defined(__PCLMUL__) && defined(__SSE2__)
+namespace {
+// 128-bit carry-less folding for the reflected CRC-16 (poly 0x8005).
+// Layout: a 16-byte little-endian block holds message bit j at int bit j,
+// i.e. polynomial degree 127-j; the LOW qword carries the HIGH degrees.
+// Advancing state F by n zero bits: Poly_F*x^n = Hd*x^(n+64) + Ld*x^n with
+// each x^m reduced mod P to a 16-bit constant C; in the reflected domain
+//   F' = clmul(F_lo, reflect16(C_{n+64}) << 49)
+//      ^ clmul(F_hi, reflect16(C_n)     << 49) ^ D.
+// A constant whose reflect16 has bit 15 set does not fit <<49 in 64 bits;
+// those folds use <<48 operands and shift the xor of the products left by
+// one ((a<<1)^(b<<1) == (a^b)<<1). Five lanes (80-byte stride, fold
+// distance 640) are the smallest count whose BOTH hot constants fit <<49.
+// The finisher feeds the residual 16-byte state + tail to the table path —
+// the state IS the residual message, so no Barrett reduction is needed.
+// Constants and the exact structure are derived+verified against the table
+// CRC in simulation (round-3 session 6); equality is regression-tested
+// across sizes and against streams in the format/golden suites.
+inline __m128i crc_shl128_1(__m128i x) {
+    __m128i carry = _mm_srli_epi64(_mm_slli_si128(x, 8), 63);
+    return _mm_or_si128(_mm_slli_epi64(x, 1), carry);
+}
+
+inline __m128i crc_fold(__m128i F, __m128i D, __m128i K) {
+    __m128i t1 = _mm_clmulepi64_si128(F, K, 0x00);  // F_lo * K_lo
+    __m128i t2 = _mm_clmulepi64_si128(F, K, 0x11);  // F_hi * K_hi
+    return _mm_xor_si128(_mm_xor_si128(t1, t2), D);
+}
+
+// fold with <<48 operands: products need one extra left shift
+inline __m128i crc_fold48(__m128i F, __m128i K) {
+    __m128i t1 = _mm_clmulepi64_si128(F, K, 0x00);
+    __m128i t2 = _mm_clmulepi64_si128(F, K, 0x11);
+    return crc_shl128_1(_mm_xor_si128(t1, t2));
+}
+}  // namespace
+
+uint16_t linne_crc16(const uint8_t* data, uint64_t size) {
+    if (size < 96) return crc16_table_path(data, size, 0);
+    // hot fold constants (distance 640): reflect16(x^704 mod P) = 0x37fc,
+    // reflect16(x^640 mod P) = 0x7840 — both fit <<49
+    const __m128i KH = _mm_set_epi64x(0x7840LL << 49, 0x37fcLL << 49);
+    __m128i F0 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(data));
+    __m128i F1 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(data + 16));
+    __m128i F2 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(data + 32));
+    __m128i F3 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(data + 48));
+    __m128i F4 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(data + 64));
+    uint64_t pos = 80;
+    while (pos + 80 <= size) {
+        const uint8_t* p = data + pos;
+        F0 = crc_fold(F0, _mm_loadu_si128(
+                              reinterpret_cast<const __m128i*>(p)), KH);
+        F1 = crc_fold(F1, _mm_loadu_si128(
+                              reinterpret_cast<const __m128i*>(p + 16)), KH);
+        F2 = crc_fold(F2, _mm_loadu_si128(
+                              reinterpret_cast<const __m128i*>(p + 32)), KH);
+        F3 = crc_fold(F3, _mm_loadu_si128(
+                              reinterpret_cast<const __m128i*>(p + 48)), KH);
+        F4 = crc_fold(F4, _mm_loadu_si128(
+                              reinterpret_cast<const __m128i*>(p + 64)), KH);
+        pos += 80;
+    }
+    // combine the 5 lanes (lane i sits (4-i)*128 bits ahead of lane 4);
+    // reflect16 pairs: (x^576,x^512)=(0x6228,0xe081),
+    // (x^448,x^384)=(0x5552,0xf649), (x^320,x^256)=(0xc4c9,0x8801) via
+    // <<48 folds (a member of each pair has bit 15 set);
+    // (x^192,x^128)=(0x6668,0x6080) fits <<49
+    const __m128i K0 = _mm_set_epi64x(0xe081LL << 48, 0x6228LL << 48);
+    const __m128i K1 = _mm_set_epi64x(0xf649LL << 48, 0x5552LL << 48);
+    const __m128i K2 = _mm_set_epi64x(0x8801LL << 48, 0xc4c9LL << 48);
+    const __m128i K3 = _mm_set_epi64x(0x6080LL << 49, 0x6668LL << 49);
+    __m128i G = _mm_xor_si128(
+        _mm_xor_si128(crc_fold48(F0, K0), crc_fold48(F1, K1)),
+        _mm_xor_si128(crc_fold48(F2, K2),
+                      crc_fold(F3, F4, K3)));
+    alignas(16) uint8_t resid[16];
+    _mm_store_si128(reinterpret_cast<__m128i*>(resid), G);
+    uint16_t crc = crc16_table_path(resid, 16, 0);
+    return crc16_table_path(data + pos, size - pos, crc);
+}
+#else
+uint16_t linne_crc16(const uint8_t* data, uint64_t size) {
+    return crc16_table_path(data, size, 0);
+}
+#endif
 
 // ------------------------------------------------------- payload packing
 

@@ -85,6 +85,23 @@ class TestCrc16:
     def test_empty(self):
         assert crc16(b"") == 0
 
+    def test_native_matches_python_across_sizes(self):
+        """The native CRC dispatches to a PCLMULQDQ folding path above 96
+        bytes (5 lanes, 80-byte stride, table finisher); sweep every
+        alignment of the dispatch threshold, the lane stride, and the tail
+        lengths so every fold/combine/finisher branch is pinned against the
+        pure-Python oracle."""
+        from linne_tpu import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+        rng = np.random.default_rng(99)
+        sizes = list(range(0, 200)) + [255, 256, 257, 559, 560, 561,
+                                       4096, 22013, 100003]
+        for n in sizes:
+            data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+            assert native.crc16(data) == crc16(data), f"size {n}"
+
 
 class TestZigzag:
     def test_scalar_roundtrip(self):
