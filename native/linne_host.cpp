@@ -902,71 +902,70 @@ static void synth_units_group(int32_t** d, const int32_t** c,
     for (; i < cnt; i++) synth_unit_single(d[i], ns, c[i], npu, r[i]);
 }
 
-// One layer of the reversed cascade, all channels together (wire semantics
-// of linne_lpc_synthesize.c:8-83). Channels are independent until
-// de-emphasis, and units within a layer are independent by construction, so
-// every unit recurrence of every channel that picked the same unit split
-// (identical npu AND unit length) is collected and drained through the
-// W-lane interleaved kernel — covering both the u>=2 within-channel case
-// and the common stereo case where both channels picked the same split.
-static void synth_layer_channels(int32_t* chdata, int64_t stride,
-                                 const int32_t* coefs, int32_t total_order,
-                                 int32_t coef_off, int n, int order,
-                                 const int32_t* log2_units,
-                                 const int32_t* rshifts, int nch,
-                                 int nlayers, int l) {
-    // capacity covers the format maximum (8 ch x 128 units); larger nch
-    // from an embedder just drains in full batches
+// One independent channel plane for the layer cascade: its data, its coef
+// base, and its per-layer unit-split/rshift side info. Channels from
+// DIFFERENT blocks qualify too — every block carries its full model state,
+// so all planes in a collection are mutually independent until de-emphasis.
+struct SynthChan {
+    int32_t* data;
+    const int32_t* coefs;      // [total_order]
+    const int32_t* log2u;      // [nlayers]
+    const int32_t* rsh;        // [nlayers]
+};
+
+// The reversed layer cascade over any set of independent channel planes of
+// equal length (wire semantics of linne_lpc_synthesize.c:8-83, applied
+// per channel). Units within a layer are independent by construction, so
+// every unit recurrence of every collected channel that picked the same
+// unit split (identical npu AND unit length) drains through the
+// interleaved kernels — covering the u>=2 within-channel case, the stereo
+// same-split case, and (when the caller collects a window of blocks)
+// cross-block pairing that mops up the odd singles.
+static void synth_layers_multi(const SynthChan* chans, int nchans, int n,
+                               int nlayers, const int32_t* orders) {
+    // capacity covers a 4-block window at the format maximum (8 ch x 128
+    // units); larger collections just drain in full batches
     constexpr int kCap = kMaxNumChannels * 128;
     int32_t* task_d[kCap];
     const int32_t* task_c[kCap];
     int32_t task_r[kCap];
-    for (int lu = 0; lu < (1 << kLog2NumUnitsBits); lu++) {
-        int num_units = 1 << lu;
-        int npu = order / num_units;
-        int ns = n / num_units;
-        if (ns <= npu) continue;
-        int cnt = 0;
-        for (int ch = 0; ch < nch; ch++) {
-            if (log2_units[ch * nlayers + l] != lu) continue;
-            int rshift = rshifts[ch * nlayers + l];
-            int32_t* dch = chdata + ch * stride;
-            const int32_t* cch = coefs + ch * total_order + coef_off;
-            for (int u = 0; u < num_units; u++) {
-                if (cnt == kCap) {
-                    synth_units_group(task_d, task_c, task_r, cnt, ns, npu);
-                    cnt = 0;
-                }
-                task_d[cnt] = dch + u * ns;
-                task_c[cnt] = cch + u * npu;
-                task_r[cnt] = rshift;
-                cnt++;
-            }
-        }
-        if (cnt) synth_units_group(task_d, task_c, task_r, cnt, ns, npu);
-    }
-}
-
-extern "C" {
-
-// Full block reconstruction: reversed layer cascade + two-stage de-emphasis
-// + optional MS->LR. Channel ch's plane is chdata + ch*stride, length n
-// (residuals in, samples out).
-static void synthesize_block_core(
-    int32_t* chdata, int64_t stride, const int32_t* coefs,
-    const int32_t* log2_units, const int32_t* rshifts,
-    const int32_t* preemph_prev, const int32_t* preemph_coef, int32_t nch,
-    int32_t n, int32_t nlayers, const int32_t* orders, int32_t nstages,
-    int32_t ms) {
-    int32_t total_order = 0;
-    for (int l = 0; l < nlayers; l++) total_order += orders[l];
-    // layer-major so same-shape unit recurrences pair across channels too
     for (int l = nlayers - 1; l >= 0; l--) {
         int32_t coef_off = 0;
         for (int k = 0; k < l; k++) coef_off += orders[k];
-        synth_layer_channels(chdata, stride, coefs, total_order, coef_off, n,
-                             orders[l], log2_units, rshifts, nch, nlayers, l);
+        int order = orders[l];
+        for (int lu = 0; lu < (1 << kLog2NumUnitsBits); lu++) {
+            int num_units = 1 << lu;
+            int npu = order / num_units;
+            int ns = n / num_units;
+            if (ns <= npu) continue;
+            int cnt = 0;
+            for (int c = 0; c < nchans; c++) {
+                if (chans[c].log2u[l] != lu) continue;
+                int rshift = chans[c].rsh[l];
+                int32_t* dch = chans[c].data;
+                const int32_t* cch = chans[c].coefs + coef_off;
+                for (int u = 0; u < num_units; u++) {
+                    if (cnt == kCap) {
+                        synth_units_group(task_d, task_c, task_r, cnt, ns,
+                                          npu);
+                        cnt = 0;
+                    }
+                    task_d[cnt] = dch + u * ns;
+                    task_c[cnt] = cch + u * npu;
+                    task_r[cnt] = rshift;
+                    cnt++;
+                }
+            }
+            if (cnt) synth_units_group(task_d, task_c, task_r, cnt, ns, npu);
+        }
     }
+}
+
+// De-emphasis + optional MS->LR for one block (runs after the cascade).
+static void deemph_ms_block(int32_t* chdata, int64_t stride,
+                            const int32_t* preemph_prev,
+                            const int32_t* preemph_coef, int32_t nch,
+                            int32_t n, int32_t nstages, int32_t ms) {
     for (int ch = 0; ch < nch; ch++) {
         int32_t* d = chdata + ch * stride;
         // de-emphasis: stage (nstages-1) inverse then ... stage 0 inverse.
@@ -1007,6 +1006,47 @@ static void synthesize_block_core(
             s[t] += m[t];
         }
     }
+}
+
+// Fill SynthChan descriptors for one block's channels.
+static void fill_synth_chans(SynthChan* out, int32_t* chdata, int64_t stride,
+                             const int32_t* coefs, const int32_t* log2_units,
+                             const int32_t* rshifts, int nch, int nlayers,
+                             int32_t total_order) {
+    for (int ch = 0; ch < nch; ch++) {
+        out[ch].data = chdata + ch * stride;
+        out[ch].coefs = coefs + ch * total_order;
+        out[ch].log2u = log2_units + ch * nlayers;
+        out[ch].rsh = rshifts + ch * nlayers;
+    }
+}
+
+extern "C" {
+
+// Full block reconstruction: reversed layer cascade + two-stage de-emphasis
+// + optional MS->LR. Channel ch's plane is chdata + ch*stride, length n
+// (residuals in, samples out).
+static void synthesize_block_core(
+    int32_t* chdata, int64_t stride, const int32_t* coefs,
+    const int32_t* log2_units, const int32_t* rshifts,
+    const int32_t* preemph_prev, const int32_t* preemph_coef, int32_t nch,
+    int32_t n, int32_t nlayers, const int32_t* orders, int32_t nstages,
+    int32_t ms) {
+    int32_t total_order = 0;
+    for (int l = 0; l < nlayers; l++) total_order += orders[l];
+    // layer-major so same-shape unit recurrences pair across channels too;
+    // chunk channel counts beyond the format maximum (embedder safety)
+    SynthChan chans[kMaxNumChannels];
+    for (int c0 = 0; c0 < nch; c0 += kMaxNumChannels) {
+        int cn = nch - c0 < kMaxNumChannels ? nch - c0 : kMaxNumChannels;
+        fill_synth_chans(chans, chdata + c0 * stride, stride,
+                         coefs + c0 * total_order,
+                         log2_units + c0 * nlayers, rshifts + c0 * nlayers,
+                         cn, nlayers, total_order);
+        synth_layers_multi(chans, cn, n, nlayers, orders);
+    }
+    deemph_ms_block(chdata, stride, preemph_prev, preemph_coef, nch, n,
+                    nstages, ms);
 }
 
 void linne_synthesize_block(
@@ -1108,37 +1148,86 @@ struct StreamParams {
     int32_t total_order;
 };
 
-int32_t decode_one_block(const StreamParams& sp, const BlockRec& b,
-                         int32_t* coefs, int32_t* log2u, int32_t* rshifts,
-                         int32_t* pprev, int32_t* pcoef) {
-    const uint8_t* blk = sp.data + b.off;
-    if (sp.check_crc) {
-        uint16_t stored = be16(blk + 6);
-        uint16_t actual = linne_crc16(blk + 8, b.bsize - 2);
-        if (stored != actual) return -2;
-    }
-    int32_t* planes = sp.out + b.start;
+// Blocks per synthesis window: each worker entropy-decodes a run of
+// consecutive blocks, then one layer-cascade collection spans all their
+// channels. Cross-block pairing mops up the same-shape singles the
+// per-block collection leaves (e.g. the order-128 u=1 unit when a block's
+// channels disagree on the split: 69% paired per block -> ~100% per window
+// on the bench stream). 4 blocks x 8ch x 40KB stays L2-resident.
+constexpr int kSynthWindow = 4;
+
+// Decode a window of up to kSynthWindow consecutive blocks. Scratch
+// regions hold kSynthWindow independent slots laid out [slot][channel...]:
+// coefs + k*per_coef, (log2u|rshifts) + k*per_l, (pprev|pcoef) + k*per_s.
+int32_t decode_window(const StreamParams& sp, const BlockRec* bs, int cnt,
+                      int32_t* coefs, int32_t* log2u, int32_t* rshifts,
+                      int32_t* pprev, int32_t* pcoef, int per_coef,
+                      int per_l, int per_s) {
+    SynthChan chans[kSynthWindow * kMaxNumChannels];
+    int grp_slot[kSynthWindow];
+    const BlockRec* grp[kSynthWindow];
+    int ng = 0, nchans = 0;
+    int32_t group_n = -1;
     const int64_t stride = sp.total_samples;
-    const uint8_t* payload = blk + 11;
-    int64_t psize = static_cast<int64_t>(b.bsize) - 5;
-    if (b.type == 1) {  // silent
-        for (int ch = 0; ch < sp.nch; ch++)
-            std::memset(planes + ch * stride, 0, sizeof(int32_t) * b.n);
-        return 0;
+    for (int k = 0; k < cnt; k++) {
+        const BlockRec& b = bs[k];
+        const uint8_t* blk = sp.data + b.off;
+        if (sp.check_crc) {
+            uint16_t stored = be16(blk + 6);
+            uint16_t actual = linne_crc16(blk + 8, b.bsize - 2);
+            if (stored != actual) return -2;
+        }
+        int32_t* planes = sp.out + b.start;
+        const uint8_t* payload = blk + 11;
+        int64_t psize = static_cast<int64_t>(b.bsize) - 5;
+        if (b.type == 1) {  // silent
+            for (int ch = 0; ch < sp.nch; ch++)
+                std::memset(planes + ch * stride, 0, sizeof(int32_t) * b.n);
+            continue;
+        }
+        if (b.type == 2) {  // raw
+            int32_t st = decode_raw_payload(payload, psize, sp.nch, b.n,
+                                            sp.bps, planes, stride);
+            if (st) return st;
+            continue;
+        }
+        int32_t* kcoefs = coefs + k * per_coef;
+        int32_t* klog2u = log2u + k * per_l;
+        int32_t* krsh = rshifts + k * per_l;
+        int32_t* kpprev = pprev + k * per_s;
+        int32_t* kpcoef = pcoef + k * per_s;
+        int64_t consumed = unpack_compress_core(
+            payload, psize, sp.huff_node0, sp.huff_node1, sp.huff_root,
+            sp.num_symbols, sp.nch, b.n, sp.bps, sp.nlayers, sp.orders,
+            sp.nstages, planes, stride, kcoefs, klog2u, krsh, kpprev,
+            kpcoef);
+        if (consumed < 0) return -3;
+        if (group_n < 0) group_n = b.n;
+        if (b.n != group_n || sp.nch > kMaxNumChannels) {
+            // odd length (tail block) or oversized embedder channel count:
+            // full per-block path, bit-identical to the grouped one
+            synthesize_block_core(planes, stride, kcoefs, klog2u, krsh,
+                                  kpprev, kpcoef, sp.nch, b.n, sp.nlayers,
+                                  sp.orders, sp.nstages, sp.ms);
+            continue;
+        }
+        fill_synth_chans(chans + nchans, planes, stride, kcoefs, klog2u,
+                         krsh, sp.nch, sp.nlayers, sp.total_order);
+        nchans += sp.nch;
+        grp[ng] = &b;
+        grp_slot[ng] = k;
+        ng++;
     }
-    if (b.type == 2) {  // raw
-        return decode_raw_payload(payload, psize, sp.nch, b.n, sp.bps,
-                                  planes, stride);
+    if (nchans) {
+        synth_layers_multi(chans, nchans, group_n, sp.nlayers, sp.orders);
+        for (int g = 0; g < ng; g++) {
+            const BlockRec& b = *grp[g];
+            int k = grp_slot[g];
+            deemph_ms_block(sp.out + b.start, stride, pprev + k * per_s,
+                            pcoef + k * per_s, sp.nch, b.n, sp.nstages,
+                            sp.ms);
+        }
     }
-    // compress
-    int64_t consumed = unpack_compress_core(
-        payload, psize, sp.huff_node0, sp.huff_node1, sp.huff_root,
-        sp.num_symbols, sp.nch, b.n, sp.bps, sp.nlayers, sp.orders,
-        sp.nstages, planes, stride, coefs, log2u, rshifts, pprev, pcoef);
-    if (consumed < 0) return -3;
-    synthesize_block_core(planes, stride, coefs, log2u, rshifts, pprev,
-                          pcoef, sp.nch, b.n, sp.nlayers, sp.orders,
-                          sp.nstages, sp.ms);
     return 0;
 }
 
@@ -1189,17 +1278,24 @@ int32_t linne_decode_stream(
     if (static_cast<size_t>(nthreads) > blocks.size())
         nthreads = static_cast<int>(blocks.size());
 
-    const int scratch = nch * (total_order + 2 * nlayers + 2 * nstages);
+    const int per_coef = nch * total_order;
+    const int per_l = nch * nlayers;
+    const int per_s = nch * nstages;
+    const int scratch = kSynthWindow * (per_coef + 2 * per_l + 2 * per_s);
     if (nthreads <= 1) {
         std::vector<int32_t> s(scratch);
         int32_t* coefs = s.data();
-        int32_t* log2u = coefs + nch * total_order;
-        int32_t* rsh = log2u + nch * nlayers;
-        int32_t* pprev = rsh + nch * nlayers;
-        int32_t* pcoef = pprev + nch * nstages;
-        for (const BlockRec& b : blocks) {
-            int32_t st = decode_one_block(sp, b, coefs, log2u, rsh, pprev,
-                                          pcoef);
+        int32_t* log2u = coefs + kSynthWindow * per_coef;
+        int32_t* rsh = log2u + kSynthWindow * per_l;
+        int32_t* pprev = rsh + kSynthWindow * per_l;
+        int32_t* pcoef = pprev + kSynthWindow * per_s;
+        for (size_t i = 0; i < blocks.size(); i += kSynthWindow) {
+            int cnt = static_cast<int>(
+                blocks.size() - i < kSynthWindow ? blocks.size() - i
+                                                 : kSynthWindow);
+            int32_t st = decode_window(sp, blocks.data() + i, cnt, coefs,
+                                       log2u, rsh, pprev, pcoef, per_coef,
+                                       per_l, per_s);
             if (st) return st;
         }
         return 0;
@@ -1210,16 +1306,21 @@ int32_t linne_decode_stream(
     auto worker = [&]() {
         std::vector<int32_t> s(scratch);
         int32_t* coefs = s.data();
-        int32_t* log2u = coefs + nch * total_order;
-        int32_t* rsh = log2u + nch * nlayers;
-        int32_t* pprev = rsh + nch * nlayers;
-        int32_t* pcoef = pprev + nch * nstages;
+        int32_t* log2u = coefs + kSynthWindow * per_coef;
+        int32_t* rsh = log2u + kSynthWindow * per_l;
+        int32_t* pprev = rsh + kSynthWindow * per_l;
+        int32_t* pcoef = pprev + kSynthWindow * per_s;
         for (;;) {
-            size_t i = next.fetch_add(1, std::memory_order_relaxed);
+            size_t i = next.fetch_add(kSynthWindow,
+                                      std::memory_order_relaxed);
             if (i >= blocks.size()) break;
             if (err.load(std::memory_order_relaxed)) break;
-            int32_t st = decode_one_block(sp, blocks[i], coefs, log2u, rsh,
-                                          pprev, pcoef);
+            int cnt = static_cast<int>(
+                blocks.size() - i < kSynthWindow ? blocks.size() - i
+                                                 : kSynthWindow);
+            int32_t st = decode_window(sp, blocks.data() + i, cnt, coefs,
+                                       log2u, rsh, pprev, pcoef, per_coef,
+                                       per_l, per_s);
             if (st) {
                 int32_t expect = 0;
                 err.compare_exchange_strong(expect, st);
