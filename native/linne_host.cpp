@@ -923,8 +923,9 @@ struct SynthChan {
 // cross-block pairing that mops up the odd singles.
 static void synth_layers_multi(const SynthChan* chans, int nchans, int n,
                                int nlayers, const int32_t* orders) {
-    // capacity covers a 4-block window at the format maximum (8 ch x 128
-    // units); larger collections just drain in full batches
+    // kCap bounds one DRAIN batch, not the collection: a 4-block window at
+    // the format maximum (8 ch x 128 units) produces 4x kCap tasks and
+    // relies on the cnt==kCap mid-loop drain below — do not remove it
     constexpr int kCap = kMaxNumChannels * 128;
     int32_t* task_d[kCap];
     const int32_t* task_c[kCap];
@@ -1165,7 +1166,6 @@ int32_t decode_window(const StreamParams& sp, const BlockRec* bs, int cnt,
                       int per_l, int per_s) {
     SynthChan chans[kSynthWindow * kMaxNumChannels];
     int grp_slot[kSynthWindow];
-    const BlockRec* grp[kSynthWindow];
     int ng = 0, nchans = 0;
     int32_t group_n = -1;
     const int64_t stride = sp.total_samples;
@@ -1214,15 +1214,13 @@ int32_t decode_window(const StreamParams& sp, const BlockRec* bs, int cnt,
         fill_synth_chans(chans + nchans, planes, stride, kcoefs, klog2u,
                          krsh, sp.nch, sp.nlayers, sp.total_order);
         nchans += sp.nch;
-        grp[ng] = &b;
-        grp_slot[ng] = k;
-        ng++;
+        grp_slot[ng++] = k;
     }
     if (nchans) {
         synth_layers_multi(chans, nchans, group_n, sp.nlayers, sp.orders);
         for (int g = 0; g < ng; g++) {
-            const BlockRec& b = *grp[g];
             int k = grp_slot[g];
+            const BlockRec& b = bs[k];
             deemph_ms_block(sp.out + b.start, stride, pprev + k * per_s,
                             pcoef + k * per_s, sp.nch, b.n, sp.nstages,
                             sp.ms);
@@ -1275,8 +1273,10 @@ int32_t linne_decode_stream(
         if (nthreads <= 0) nthreads = 1;
     }
     if (nthreads > 32) nthreads = 32;
-    if (static_cast<size_t>(nthreads) > blocks.size())
-        nthreads = static_cast<int>(blocks.size());
+    // work items are kSynthWindow-block windows, not blocks
+    size_t nwindows = (blocks.size() + kSynthWindow - 1) / kSynthWindow;
+    if (static_cast<size_t>(nthreads) > nwindows)
+        nthreads = static_cast<int>(nwindows);
 
     const int per_coef = nch * total_order;
     const int per_l = nch * nlayers;

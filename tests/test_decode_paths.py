@@ -127,6 +127,49 @@ def test_decode_path_is_jax_free():
     assert r.stdout.strip() == "ok"
 
 
+def test_windowed_decode_mixed_block_types():
+    """The native stream decoder groups compress blocks into 4-block
+    synthesis windows; raw (type 2) and silent (type 1) blocks are skipped
+    before slot registration. Build a stream whose windows interleave all
+    three types (tone -> compress, full-range uniform noise -> raw,
+    zeros -> silent) and pin losslessness plus the presence of every type
+    on the wire, serial and threaded."""
+    from linne_tpu.constants import HEADER_SIZE
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    spb = 4096
+    rng = np.random.default_rng(5)
+    t = np.arange(spb)
+    tone = np.round(6000 * np.sin(2 * np.pi * 330 * t / 44100)).astype(
+        np.int32)
+    noise = rng.integers(-32768, 32768, size=spb).astype(np.int32)
+    silent = np.zeros(spb, np.int32)
+    # two full windows + a partial one, each mixing types
+    seq = [tone, noise, silent, tone, noise, tone, silent, noise, tone + 7]
+    left = np.concatenate(seq)
+    right = np.concatenate(seq[::-1])
+    n = left.shape[0]
+
+    enc = ExactEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=spb, preset=2, ch_process_method=CH_PROCESS_MS))
+    data = enc.encode_whole([left, right], n)
+
+    # wire scan: all three block types must actually be present
+    types = set()
+    pos = HEADER_SIZE
+    while pos < len(data):
+        bsize = int.from_bytes(data[pos + 2: pos + 6], "big")
+        types.add(data[pos + 8])
+        pos += bsize + 6
+    assert types == {0, 1, 2}, f"stream lacks a type: {types}"
+
+    for nthr in (1, 3):
+        out = Decoder(DecoderConfig(num_threads=nthr)).decode_whole(data)
+        assert np.array_equal(out[0], left) and np.array_equal(out[1], right)
+
+
 def test_threaded_stream_decode_matches_serial(encoded):
     """The native stream decoder's worker pool (blocks are independent)
     must produce identical output at any thread count — exercised with
