@@ -41,6 +41,25 @@ from ..presets import PRESETS
 from .params import DecoderConfig
 
 
+def _check_stream_capacity(header: LinneHeader, stream_bytes: int) -> None:
+    """Reject a header whose num_samples the body cannot possibly carry,
+    BEFORE the output planes are allocated. The 30-byte header has no CRC
+    on the wire (reference layout, linne_encoder.c:104-137), so a corrupt
+    num_samples (u32) would otherwise drive an allocation of up to
+    8ch x 2^32 x 4B = 128 GiB from a tiny corrupt file (found by the
+    round-3 extended fuzz). Bound: every block frame occupies >= 11 bytes
+    (6 frame header + 5 minimum block size) and carries <= 65535 samples
+    (the ns field is u16), so a body of B bytes yields at most
+    ceil(B/11) * 65535 samples. Every valid stream passes (the exact
+    per-block budget is far below the bound — even all-silent streams)."""
+    body = max(0, stream_bytes - HEADER_SIZE)
+    max_possible = ((body + 10) // 11) * 0xFFFF
+    if header.num_samples > max_possible:
+        raise FormatError(
+            f"header claims {header.num_samples} samples but the "
+            f"{body}-byte body can carry at most {max_possible}")
+
+
 class Decoder:
     def __init__(self, config: DecoderConfig | None = None):
         self.config = config or DecoderConfig()
@@ -116,6 +135,7 @@ class Decoder:
     def decode_whole(self, data: bytes) -> List[np.ndarray]:
         header = LinneHeader.unpack(data)
         self.set_header(header)
+        _check_stream_capacity(header, len(data))
         if native.available():
             return self._decode_whole_native(data)
         out = [np.zeros(header.num_samples, dtype=np.int32)

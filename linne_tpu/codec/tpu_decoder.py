@@ -35,6 +35,7 @@ from ..constants import (
 )
 from ..format.block import BLOCK_HEADER_SIZE, parse_block_header, read_raw_payload
 from ..format.header import LinneHeader
+from .decoder import _check_stream_capacity
 from ..format.huffman import get_codebook
 from ..ops.synthesis import synthesize_rows
 from ..presets import PRESETS
@@ -74,6 +75,7 @@ class TpuDecoder:
         """Entropy-decode every block of one stream on the host. Returns
         (header, orders, blocks) with blocks = [(start, n, kind, payload)]."""
         header = LinneHeader.unpack(data)
+        _check_stream_capacity(header, len(data))
         preset = PRESETS[header.preset]
         cb = get_codebook(preset.coef_freq_table)
         orders = np.asarray(preset.layer_num_params, dtype=np.int32)

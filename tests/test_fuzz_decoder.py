@@ -25,6 +25,29 @@ def stream():
     return enc.encode_whole([samples[0], samples[1]], samples.shape[1])
 
 
+def test_giant_num_samples_header_rejected(stream):
+    """The 30-byte header has no wire CRC, so a corrupted num_samples (u32,
+    offset 14) used to drive the output-plane allocation directly — a tiny
+    corrupt file could demand 8ch x 2^32 x 4B = 128 GiB (found by the r3
+    extended fuzz as an ArrayMemoryError). The capacity check must reject
+    it as FormatError BEFORE allocating, with CRC checking on or off."""
+    from linne_tpu.codec.tpu_decoder import TpuDecoder
+    from linne_tpu.format.header import FormatError
+
+    bad = bytearray(stream)
+    bad[14:18] = (0xFFFFFFF0).to_bytes(4, "big")
+    for crc in (True, False):
+        with pytest.raises(FormatError):
+            Decoder(DecoderConfig(check_crc=crc)).decode_whole(bytes(bad))
+    with pytest.raises(FormatError):
+        TpuDecoder().decode_whole(bytes(bad))
+    # a plausible-but-wrong value below the capacity bound still errors
+    # cleanly (truncated body), rather than succeeding with zero tail
+    bad[14:18] = (2560 * 3).to_bytes(4, "big")
+    with pytest.raises(FormatError):
+        Decoder().decode_whole(bytes(bad))
+
+
 def _try_decode(data: bytes) -> None:
     try:
         Decoder(DecoderConfig(check_crc=False)).decode_whole(data)
