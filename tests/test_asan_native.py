@@ -37,11 +37,18 @@ def _runtime(name):
 def test_native_decode_fuzz_is_asan_clean(tmp_path):
     src = REPO_ROOT / "native" / "linne_host.cpp"
     so = tmp_path / "lh_asan.so"
-    build = subprocess.run(
-        ["g++", "-O1", "-g", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
-         "-pthread", "-fsanitize=address,undefined",
-         "-fno-sanitize-recover=all", str(src), "-o", str(so)],
-        capture_output=True, text=True)
+    # -march=native first so the intrinsic paths (AVX-512 x2 synthesis,
+    # PCLMULQDQ CRC folding) are sanitized too, not just the portable
+    # fallbacks; drop it where the toolchain rejects it (mirrors native.py)
+    build = None
+    for extra in (["-march=native"], []):
+        build = subprocess.run(
+            ["g++", "-O1", "-g", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
+             "-pthread", "-fsanitize=address,undefined",
+             "-fno-sanitize-recover=all", *extra, str(src), "-o", str(so)],
+            capture_output=True, text=True)
+        if build.returncode == 0:
+            break
     if build.returncode != 0:
         pytest.skip(f"asan build unavailable: {build.stderr[-200:]}")
 

@@ -38,10 +38,16 @@ def _libtsan():
 def test_threaded_decode_is_tsan_clean(tmp_path):
     src = REPO_ROOT / "native" / "linne_host.cpp"
     so = tmp_path / "lh_tsan.so"
-    build = subprocess.run(
-        ["g++", "-O1", "-g", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
-         "-pthread", "-fsanitize=thread", str(src), "-o", str(so)],
-        capture_output=True, text=True)
+    # -march=native first so the intrinsic paths run under TSan too
+    build = None
+    for extra in (["-march=native"], []):
+        build = subprocess.run(
+            ["g++", "-O1", "-g", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
+             "-pthread", "-fsanitize=thread", *extra, str(src), "-o",
+             str(so)],
+            capture_output=True, text=True)
+        if build.returncode == 0:
+            break
     if build.returncode != 0:
         pytest.skip(f"tsan build unavailable: {build.stderr[-200:]}")
 
