@@ -284,7 +284,11 @@ def decode_stream(
     Returns the planes; raises on malformed/corrupt streams with the status
     code in the message ('crc' for CRC mismatches)."""
     arr = np.frombuffer(body, dtype=np.uint8)
-    out = np.zeros((nch, total_samples), dtype=np.int32)
+    # np.empty is sound: the native scan verifies the blocks cover exactly
+    # total_samples before decoding, every success path writes all samples
+    # (silent blocks memset), and every failure path raises (the partially
+    # written buffer is discarded) — zero-filling 4B/sample was pure waste
+    out = np.empty((nch, total_samples), dtype=np.int32)
     st = lib().linne_decode_stream(
         arr, arr.size, total_samples, huff_node0, huff_node1, huff_root,
         num_symbols, nch, bps, orders.shape[0],
