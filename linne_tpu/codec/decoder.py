@@ -123,10 +123,17 @@ class Decoder:
         library (single pass, no Python bit loops)."""
         cb = self.codebook
         orders = np.asarray(self.preset.layer_num_params, dtype=np.int32)
-        (residuals, coefs, log2u, rshifts, pprev, pcoef, _consumed) = (
-            native.unpack_compress_payload(
-                payload, cb.node0_array, cb.node1_array, cb.root,
-                cb.num_symbols, nch, n, self.header.bits_per_sample, orders))
+        try:
+            (residuals, coefs, log2u, rshifts, pprev, pcoef, _consumed) = (
+                native.unpack_compress_payload(
+                    payload, cb.node0_array, cb.node1_array, cb.root,
+                    cb.num_symbols, nch, n, self.header.bits_per_sample,
+                    orders))
+        except native.StreamDecodeError as e:
+            # public error contract: corrupt payloads raise FormatError
+            # (matching the whole-stream native path and the pure-Python
+            # format layer), never a raw RuntimeError
+            raise FormatError(str(e)) from e
         native.synthesize_block(
             residuals, coefs, log2u, rshifts, pprev, pcoef, orders,
             self.header.ch_process_method == CH_PROCESS_MS)

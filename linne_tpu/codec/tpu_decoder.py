@@ -34,7 +34,7 @@ from ..constants import (
     HEADER_SIZE,
 )
 from ..format.block import BLOCK_HEADER_SIZE, parse_block_header, read_raw_payload
-from ..format.header import LinneHeader
+from ..format.header import FormatError, LinneHeader
 from .decoder import _check_stream_capacity
 from ..format.huffman import get_codebook
 from ..ops.synthesis import synthesize_rows
@@ -97,9 +97,12 @@ class TpuDecoder:
                 blocks.append((progress, n, "raw", np.stack(channels)))
             else:
                 if native.available():
-                    unpacked = native.unpack_compress_payload(
-                        payload, cb.node0_array, cb.node1_array, cb.root,
-                        cb.num_symbols, nch, n, bps, orders)
+                    try:
+                        unpacked = native.unpack_compress_payload(
+                            payload, cb.node0_array, cb.node1_array, cb.root,
+                            cb.num_symbols, nch, n, bps, orders)
+                    except native.StreamDecodeError as e:
+                        raise FormatError(str(e)) from e
                 else:
                     unpacked = self._unpack_payload_py(
                         payload, nch, n, bps, preset.layer_num_params, cb)

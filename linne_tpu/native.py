@@ -267,7 +267,10 @@ def unpack_compress_payload(
         nch, n, bps, nlayers, np.ascontiguousarray(orders, np.int32),
         nstages, residuals, coefs, log2_units, rshifts, pprev, pcoef)
     if consumed < 0:
-        raise RuntimeError("payload unpacking error")
+        # same error family as decode_stream so per-block callers
+        # (StreamingDecoder, Decoder.decode_block) can map it to the
+        # public FormatError contract
+        raise StreamDecodeError("corrupt block payload")
     return residuals, coefs, log2_units, rshifts, pprev, pcoef, int(consumed)
 
 

@@ -48,6 +48,33 @@ def test_giant_num_samples_header_rejected(stream):
         Decoder().decode_whole(bytes(bad))
 
 
+def test_per_block_corrupt_payload_raises_format_error(stream):
+    """The per-block native path (StreamingDecoder / Decoder.decode_block)
+    must honor the same public error contract as the whole-stream path:
+    corrupt payloads raise FormatError (or its CorruptionError subclass),
+    never a raw RuntimeError (found by the r3 streaming fuzz — the native
+    unpack wrapper leaked RuntimeError with CRC checking off)."""
+    from linne_tpu.codec.streaming import StreamingDecoder
+    from linne_tpu.format.header import FormatError
+
+    rng = np.random.default_rng(31)
+    hits = 0
+    for _ in range(60):
+        bad = bytearray(stream)
+        for _ in range(int(rng.integers(1, 6))):
+            bad[int(rng.integers(40, len(bad)))] ^= int(rng.integers(1, 256))
+        for crc in (True, False):
+            sd = StreamingDecoder(bytes(bad), DecoderConfig(check_crc=crc))
+            try:
+                while sd.read(4096).shape[1]:
+                    pass
+            except FormatError:
+                hits += 1  # includes CorruptionError
+            except ValueError:
+                pass  # header-field corruption
+    assert hits > 0, "corruptions never reached the payload error path"
+
+
 def _try_decode(data: bytes) -> None:
     try:
         Decoder(DecoderConfig(check_crc=False)).decode_whole(data)
