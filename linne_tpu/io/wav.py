@@ -42,10 +42,16 @@ def read_wav(path: str):
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise WavError("truncated fmt chunk")
             (audio_fmt, nch, rate, _brate, _align, bps) = struct.unpack_from(
                 "<HHIIHH", body)
             if audio_fmt != 1:
                 raise WavError(f"unsupported WAVE format tag {audio_fmt}")
+            if bps not in (8, 16, 24, 32):
+                raise WavError(f"unsupported bits per sample {bps}")
+            if nch == 0:
+                raise WavError("zero channels")
             fmt = (nch, rate, bps)
         elif cid == b"data":
             pcm = body

@@ -62,3 +62,44 @@ def test_extra_chunks_tolerated(tmp_path):
     p2.write_bytes(bytes(raw2))
     _, restored = read_wav(str(p2))
     assert np.array_equal(restored, samples)
+
+
+def test_corrupt_wav_raises_wav_error(tmp_path):
+    """Corrupt/truncated WAV input must raise WavError, never struct.error,
+    ZeroDivisionError, or UnboundLocalError (r3 fuzz: a truncated fmt chunk
+    leaked struct.error; bps=0 / unsupported bps / nch=0 were latent)."""
+    samples = np.array([[10, -20, 30, -40] * 64], dtype=np.int32)
+    p = tmp_path / "t.wav"
+    write_wav(str(p), samples, 8000, 16)
+    good = bytearray(p.read_bytes())
+
+    def expect_wav_error(raw):
+        p.write_bytes(bytes(raw))
+        with pytest.raises(WavError):
+            read_wav(str(p))
+
+    # truncated fmt chunk body
+    expect_wav_error(good[: 12 + 8 + 7])
+    # bps = 0 (fmt body offset 12+8, bps at +14)
+    bad = bytearray(good)
+    bad[12 + 8 + 14 : 12 + 8 + 16] = (0).to_bytes(2, "little")
+    expect_wav_error(bad)
+    # unsupported bps = 12
+    bad = bytearray(good)
+    bad[12 + 8 + 14 : 12 + 8 + 16] = (12).to_bytes(2, "little")
+    expect_wav_error(bad)
+    # zero channels
+    bad = bytearray(good)
+    bad[12 + 8 + 2 : 12 + 8 + 4] = (0).to_bytes(2, "little")
+    expect_wav_error(bad)
+    # random byte-flip sweep stays in the WavError/clean contract
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        bad = bytearray(good)
+        for _ in range(int(rng.integers(1, 5))):
+            bad[int(rng.integers(0, len(bad)))] ^= int(rng.integers(1, 256))
+        p.write_bytes(bytes(bad))
+        try:
+            read_wav(str(p))
+        except WavError:
+            pass
