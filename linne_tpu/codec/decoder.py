@@ -35,29 +35,10 @@ from ..format.block import (
     read_compress_payload,
     read_raw_payload,
 )
-from ..format.header import FormatError, LinneHeader
+from ..format.header import FormatError, LinneHeader, check_stream_capacity
 from ..format.huffman import get_codebook
 from ..presets import PRESETS
 from .params import DecoderConfig
-
-
-def _check_stream_capacity(header: LinneHeader, stream_bytes: int) -> None:
-    """Reject a header whose num_samples the body cannot possibly carry,
-    BEFORE the output planes are allocated. The 30-byte header has no CRC
-    on the wire (reference layout, linne_encoder.c:104-137), so a corrupt
-    num_samples (u32) would otherwise drive an allocation of up to
-    8ch x 2^32 x 4B = 128 GiB from a tiny corrupt file (found by the
-    round-3 extended fuzz). Bound: every block frame occupies >= 11 bytes
-    (6 frame header + 5 minimum block size) and carries <= 65535 samples
-    (the ns field is u16), so a body of B bytes yields at most
-    ceil(B/11) * 65535 samples. Every valid stream passes (the exact
-    per-block budget is far below the bound — even all-silent streams)."""
-    body = max(0, stream_bytes - HEADER_SIZE)
-    max_possible = ((body + 10) // 11) * 0xFFFF
-    if header.num_samples > max_possible:
-        raise FormatError(
-            f"header claims {header.num_samples} samples but the "
-            f"{body}-byte body can carry at most {max_possible}")
 
 
 class Decoder:
@@ -142,7 +123,7 @@ class Decoder:
     def decode_whole(self, data: bytes) -> List[np.ndarray]:
         header = LinneHeader.unpack(data)
         self.set_header(header)
-        _check_stream_capacity(header, len(data))
+        check_stream_capacity(header, len(data))
         if native.available():
             return self._decode_whole_native(data)
         out = [np.zeros(header.num_samples, dtype=np.int32)
@@ -156,6 +137,12 @@ class Decoder:
                 out[ch][progress : progress + n] = channels[ch]
             progress += n
             offset += consumed
+        if progress < header.num_samples:
+            # same contract as the native scan: a cleanly-truncated body
+            # must not report success with a silently zero-filled tail
+            raise FormatError(
+                f"stream body ends after {progress} of "
+                f"{header.num_samples} samples")
         return out
 
     def _decode_whole_native(self, data: bytes) -> List[np.ndarray]:

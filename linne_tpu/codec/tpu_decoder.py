@@ -34,8 +34,7 @@ from ..constants import (
     HEADER_SIZE,
 )
 from ..format.block import BLOCK_HEADER_SIZE, parse_block_header, read_raw_payload
-from ..format.header import FormatError, LinneHeader
-from .decoder import _check_stream_capacity
+from ..format.header import FormatError, LinneHeader, check_stream_capacity
 from ..format.huffman import get_codebook
 from ..ops.synthesis import synthesize_rows
 from ..presets import PRESETS
@@ -75,7 +74,7 @@ class TpuDecoder:
         """Entropy-decode every block of one stream on the host. Returns
         (header, orders, blocks) with blocks = [(start, n, kind, payload)]."""
         header = LinneHeader.unpack(data)
-        _check_stream_capacity(header, len(data))
+        check_stream_capacity(header, len(data))
         preset = PRESETS[header.preset]
         cb = get_codebook(preset.coef_freq_table)
         orders = np.asarray(preset.layer_num_params, dtype=np.int32)
@@ -109,6 +108,12 @@ class TpuDecoder:
                 blocks.append((progress, n, "compress", unpacked))
             offset += bh.total_size
             progress += n
+        if progress < header.num_samples:
+            # a cleanly-truncated body must not decode to a silently
+            # zero-filled tail (same contract as the native stream scan)
+            raise FormatError(
+                f"stream body ends after {progress} of "
+                f"{header.num_samples} samples")
         return header, orders, blocks
 
     @staticmethod

@@ -101,3 +101,22 @@ class LinneHeader:
                 raise FormatError(f"unsupported codec version {codec_ver}")
         header.validate()
         return header
+
+
+def check_stream_capacity(header: LinneHeader, stream_bytes: int) -> None:
+    """Reject a header whose num_samples the body cannot possibly carry,
+    BEFORE output planes are allocated. The 30-byte header has no CRC on
+    the wire (reference layout, linne_encoder.c:104-137), so a corrupt
+    num_samples (u32) would otherwise drive an allocation of up to
+    8ch x 2^32 x 4B = 128 GiB from a tiny corrupt file (found by the
+    round-3 extended fuzz). Bound: every block frame occupies >= 11 bytes
+    (6 frame header + 5 minimum block size) and carries <= 65535 samples
+    (the ns field is u16), so a body of B bytes yields at most
+    ceil(B/11) * 65535 samples. Every valid stream passes (the exact
+    per-block budget is far below the bound — even all-silent streams)."""
+    body = max(0, stream_bytes - HEADER_SIZE)
+    max_possible = ((body + 10) // 11) * 0xFFFF
+    if header.num_samples > max_possible:
+        raise FormatError(
+            f"header claims {header.num_samples} samples but the "
+            f"{body}-byte body can carry at most {max_possible}")

@@ -37,6 +37,25 @@ def have_reference_cli() -> bool:
     return REFERENCE_CLI.is_file() and os.access(REFERENCE_CLI, os.X_OK)
 
 
+def build_sanitized_native(so_path, sanitize_flags):
+    """Build native/linne_host.cpp into `so_path` with the given sanitizer
+    flags, trying -march=native first so the intrinsic paths (AVX-512 x2
+    synthesis, PCLMULQDQ CRC) are sanitized too, with a generic fallback
+    where the toolchain rejects it (mirrors linne_tpu/native.py _build).
+    Returns None on success, else the compiler stderr for a skip message."""
+    src = REPO_ROOT / "native" / "linne_host.cpp"
+    build = None
+    for extra in (["-march=native"], []):
+        build = subprocess.run(
+            ["g++", "-O1", "-g", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
+             "-pthread", *sanitize_flags, *extra, str(src), "-o",
+             str(so_path)],
+            capture_output=True, text=True)
+        if build.returncode == 0:
+            return None
+    return build.stderr
+
+
 requires_reference = pytest.mark.skipif(
     not have_reference_cli(),
     reason="reference linne CLI not built (.refbuild/linne)")

@@ -35,22 +35,13 @@ def _runtime(name):
 @pytest.mark.skipif(_runtime("libasan.so") is None,
                     reason="no gcc/libasan on host")
 def test_native_decode_fuzz_is_asan_clean(tmp_path):
-    src = REPO_ROOT / "native" / "linne_host.cpp"
+    from conftest import build_sanitized_native
+
     so = tmp_path / "lh_asan.so"
-    # -march=native first so the intrinsic paths (AVX-512 x2 synthesis,
-    # PCLMULQDQ CRC folding) are sanitized too, not just the portable
-    # fallbacks; drop it where the toolchain rejects it (mirrors native.py)
-    build = None
-    for extra in (["-march=native"], []):
-        build = subprocess.run(
-            ["g++", "-O1", "-g", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
-             "-pthread", "-fsanitize=address,undefined",
-             "-fno-sanitize-recover=all", *extra, str(src), "-o", str(so)],
-            capture_output=True, text=True)
-        if build.returncode == 0:
-            break
-    if build.returncode != 0:
-        pytest.skip(f"asan build unavailable: {build.stderr[-200:]}")
+    err = build_sanitized_native(
+        so, ["-fsanitize=address,undefined", "-fno-sanitize-recover=all"])
+    if err is not None:
+        pytest.skip(f"asan build unavailable: {err[-200:]}")
 
     samples = WAVEFORMS["gauss"](10240 * 3 + 777, 2, 16)
     enc = TpuEncoder()

@@ -36,20 +36,12 @@ def _libtsan():
 
 @pytest.mark.skipif(_libtsan() is None, reason="no gcc/libtsan on host")
 def test_threaded_decode_is_tsan_clean(tmp_path):
-    src = REPO_ROOT / "native" / "linne_host.cpp"
+    from conftest import build_sanitized_native
+
     so = tmp_path / "lh_tsan.so"
-    # -march=native first so the intrinsic paths run under TSan too
-    build = None
-    for extra in (["-march=native"], []):
-        build = subprocess.run(
-            ["g++", "-O1", "-g", "-fwrapv", "-fPIC", "-shared", "-std=c++17",
-             "-pthread", "-fsanitize=thread", *extra, str(src), "-o",
-             str(so)],
-            capture_output=True, text=True)
-        if build.returncode == 0:
-            break
-    if build.returncode != 0:
-        pytest.skip(f"tsan build unavailable: {build.stderr[-200:]}")
+    err = build_sanitized_native(so, ["-fsanitize=thread"])
+    if err is not None:
+        pytest.skip(f"tsan build unavailable: {err[-200:]}")
 
     samples = WAVEFORMS["gauss"](10240 * 8, 2, 16)
     enc = TpuEncoder()
