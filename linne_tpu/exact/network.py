@@ -124,12 +124,16 @@ def _unit_predictions(
     W = _sliding_matrix(data, n, npu)
     # per-sample filter: unit u covers rows [u*ns, (u+1)*ns)
     P = np.repeat(params.reshape(num_units, npu), ns, axis=0)
-    terms = W * P
-    if include_base:
-        acc = np.concatenate([data[:n, None], terms], axis=1)
-    else:
-        acc = np.concatenate([np.zeros((n, 1)), terms], axis=1)
-    return np.cumsum(acc, axis=1)[:, -1]
+    # A diverged -l run legitimately overflows these doubles to inf/NaN;
+    # the C reference computes straight through (bit-identity is the
+    # contract), so silence numpy's warnings without changing arithmetic.
+    with np.errstate(invalid="ignore", over="ignore"):
+        terms = W * P
+        if include_base:
+            acc = np.concatenate([data[:n, None], terms], axis=1)
+        else:
+            acc = np.concatenate([np.zeros((n, 1)), terms], axis=1)
+        return np.cumsum(acc, axis=1)[:, -1]
 
 
 class LayerState:
@@ -165,25 +169,31 @@ class LayerState:
                 self.din[:n], self.dout[:n], data[:n], self.params,
                 self.num_units, npu, n, self.dparams)
             return
-        for unit in range(self.num_units):
-            pin = self.din[unit * ns : (unit + 1) * ns]
-            pout = self.dout[unit * ns : (unit + 1) * ns]
-            pparams = self.params[unit * npu : (unit + 1) * npu]
-            pback = data[unit * ns : (unit + 1) * ns]
-            pdp = self.dparams[unit * npu : (unit + 1) * npu]
-            # dparams[i] = sum_{j=0}^{ns-npu+i-1} pin[j] * pout[npu-i+j]
-            for i in range(npu):
-                jn = ns - npu + i
-                pdp[i] = _serial_sum(pin[:jn] * pout[npu - i : npu - i + jn])
-            # input grad: back[i] = sum_j params[j] * pout[npu+i-j], scaled
-            for i in range(ns - npu):
-                terms = pparams * pout[npu + i : i : -1][: npu]
-                pback[i] += _serial_sum(terms) / npu
-            for i in range(ns - npu, ns):
-                # edge: only in-range pout entries (j > npu+i-ns) participate
-                j0 = npu + i - ns + 1
-                terms = pparams[j0:] * pout[i + 1 : npu + i - j0 + 1][::-1]
-                pback[i] += _serial_sum(terms) / npu
+        # A diverged training run legitimately carries inf/NaN doubles
+        # through these chains (the C reference computes straight through
+        # them; bit-identity with it is the contract) — silence numpy's
+        # invalid/overflow warnings, don't change the arithmetic.
+        with np.errstate(invalid="ignore", over="ignore"):
+            for unit in range(self.num_units):
+                pin = self.din[unit * ns : (unit + 1) * ns]
+                pout = self.dout[unit * ns : (unit + 1) * ns]
+                pparams = self.params[unit * npu : (unit + 1) * npu]
+                pback = data[unit * ns : (unit + 1) * ns]
+                pdp = self.dparams[unit * npu : (unit + 1) * npu]
+                # dparams[i] = sum_{j=0}^{ns-npu+i-1} pin[j] * pout[npu-i+j]
+                for i in range(npu):
+                    jn = ns - npu + i
+                    pdp[i] = _serial_sum(
+                        pin[:jn] * pout[npu - i : npu - i + jn])
+                # input grad: back[i] = sum_j params[j]*pout[npu+i-j], scaled
+                for i in range(ns - npu):
+                    terms = pparams * pout[npu + i : i : -1][: npu]
+                    pback[i] += _serial_sum(terms) / npu
+                for i in range(ns - npu, ns):
+                    # edge: only in-range pout entries (j > npu+i-ns) count
+                    j0 = npu + i - ns + 1
+                    terms = pparams[j0:] * pout[i + 1 : npu + i - j0 + 1][::-1]
+                    pback[i] += _serial_sum(terms) / npu
 
 
 class NetworkState:
@@ -406,14 +416,19 @@ class TrainerState:
                 off += L.num_params
             return
         prev_loss = FLT_MAX
-        for _ in range(max_iterations):
-            net.data_buffer[:n] = data[:n]
-            loss = net._calculate_gradient(net.data_buffer, n)
-            for l, layer in enumerate(net.layers):
-                m = self.momentum[l][: layer.num_params]
-                np.multiply(m, self.alpha, out=m)
-                m += learning_rate * layer.dparams
-                layer.params -= m
-            if abs(loss - prev_loss) < loss_epsilon:
-                break
-            prev_loss = loss
+        # A diverged run carries inf/NaN doubles through the whole
+        # forward/loss/backward/update chain; the C reference computes
+        # straight through them and bit-identity with it is the contract —
+        # suppress numpy's warnings here, never alter the arithmetic.
+        with np.errstate(invalid="ignore", over="ignore"):
+            for _ in range(max_iterations):
+                net.data_buffer[:n] = data[:n]
+                loss = net._calculate_gradient(net.data_buffer, n)
+                for l, layer in enumerate(net.layers):
+                    m = self.momentum[l][: layer.num_params]
+                    np.multiply(m, self.alpha, out=m)
+                    m += learning_rate * layer.dparams
+                    layer.params -= m
+                if abs(loss - prev_loss) < loss_epsilon:
+                    break
+                prev_loss = loss
