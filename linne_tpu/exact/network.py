@@ -154,7 +154,10 @@ class LayerState:
         Sample 0 of unit 0 is untouched."""
         self.din[:n] = data[:n]
         pred = _unit_predictions(self.params, self.din, n, self.num_units, False)
-        data[1:n] += pred[1:n]
+        # inf + -inf here is legitimate on a diverged -l run (see
+        # _unit_predictions); warn-suppress just the accumulate.
+        with np.errstate(invalid="ignore", over="ignore"):
+            data[1:n] += pred[1:n]
 
     def backward(self, data: np.ndarray, n: int) -> None:
         """Computes dparams and replaces `data` with the input gradient
@@ -416,19 +419,20 @@ class TrainerState:
                 off += L.num_params
             return
         prev_loss = FLT_MAX
-        # A diverged run carries inf/NaN doubles through the whole
-        # forward/loss/backward/update chain; the C reference computes
-        # straight through them and bit-identity with it is the contract —
-        # suppress numpy's warnings here, never alter the arithmetic.
-        with np.errstate(invalid="ignore", over="ignore"):
-            for _ in range(max_iterations):
-                net.data_buffer[:n] = data[:n]
-                loss = net._calculate_gradient(net.data_buffer, n)
+        for _ in range(max_iterations):
+            net.data_buffer[:n] = data[:n]
+            loss = net._calculate_gradient(net.data_buffer, n)
+            # A diverged run legitimately carries inf/NaN doubles through
+            # the momentum update (the C reference computes straight
+            # through; bit-identity is the contract) — suppress numpy's
+            # warnings only around these lines, never alter arithmetic.
+            # The forward/backward kernels carry their own narrow wraps.
+            with np.errstate(invalid="ignore", over="ignore"):
                 for l, layer in enumerate(net.layers):
                     m = self.momentum[l][: layer.num_params]
                     np.multiply(m, self.alpha, out=m)
                     m += learning_rate * layer.dparams
                     layer.params -= m
-                if abs(loss - prev_loss) < loss_epsilon:
-                    break
-                prev_loss = loss
+            if abs(loss - prev_loss) < loss_epsilon:
+                break
+            prev_loss = loss
