@@ -1,0 +1,218 @@
+"""Byte-exact `.lnn` encoding with the analysis on the accelerator.
+
+`DeviceExactEncoder` produces bitstreams byte-identical to the reference C
+encoder (same contract as `ExactEncoder`), but runs the expensive per-block
+network fitting — ridge sweep, unit-count search, Levinson-Durbin, greedy
+layer cascade, error-feedback quantization (reference:
+libs/linne_network/src/linne_network.c:582-630, libs/lpc/src/lpc.c:252-324,
+981-1040) — as ONE batched XLA computation over [blocks x channels] via
+`linne_tpu.ops.exact_device`, instead of the host oracle's sequential loops.
+
+Why this decomposition is sound: at even unit sub-lengths (always true for
+full blocks) the fits never *read* the shared `LPCCalculator` arena before
+writing it, so every (block, channel) fit is independent — only two serial
+strands remain, and both stay on the host:
+
+- the block-type decision (`estimate_code_length`) reads one stale arena
+  element left by the previous compressed block's fits
+  (lpc.c:846-848); after each compressed block we replay the device fit's
+  arena writes into the host arena (`fold_parcor_state`) so the next
+  decision sees identical state;
+- the bitstream itself (entropy coding, framing) is serial by format.
+
+Scope (ValueError otherwise): AF iterations = 0 (the CLI default) and no
+`-l` training. Tail blocks and any shape `exact_device.supported` rejects
+fall back to the host oracle fit for that block, preserving arena order.
+
+On XLA:CPU the pipeline is bit-identical to the oracle by construction
+(FMA-shielded serial-order ops — see exact_device docstring). On TPU f64 is
+emulated (~1e-15/op) so byte-identity on hardware is empirical, asserted
+per corpus by the bench/eval gates rather than guaranteed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..constants import CH_PROCESS_MS, LPC_COEF_BITWIDTH, NUM_PREEMPH_FILTERS
+from ..codec.params import EncoderConfig, EncodeParameter
+from ..ops import exact_device as _dev
+from .encoder import ExactEncoder
+from .filters import ms_conversion, preemphasis, preemphasis_calculate_coefficient
+
+import os
+
+# Batch fits in fixed-size buckets so jit caching sees few shapes.
+_CHUNK = int(os.environ.get("LINNE_EXACT_DEVICE_CHUNK", "128"))
+
+
+class DeviceExactEncoder(ExactEncoder):
+    """ExactEncoder with the per-block network fitting batched on device."""
+
+    def __init__(self, config: EncoderConfig | None = None, device=None):
+        super().__init__(config)
+        self._device = device
+        self._fit_cache: Dict[int, dict] = {}
+        self._block_index = -1
+
+    def set_encode_parameter(self, parameter: EncodeParameter) -> None:
+        if parameter.num_afmethod_iterations != 0:
+            raise ValueError(
+                "DeviceExactEncoder supports num_afmethod_iterations=0 only")
+        if parameter.enable_learning:
+            raise ValueError("DeviceExactEncoder does not support -l training")
+        super().set_encode_parameter(parameter)
+
+    # -- batched prepass ----------------------------------------------------
+
+    def _preemph_plane(self, channels: Sequence[np.ndarray], n: int
+                       ) -> np.ndarray:
+        """MS + two pre-emphasis stages for one block, on host int32 — the
+        same transform `_encode_compress_payload` applies
+        (linne_encoder.c:624-641), without side-info bookkeeping."""
+        p = self.parameter
+        buf = np.stack([c[:n].astype(np.int32) for c in
+                        channels[: p.num_channels]])
+        if p.ch_process_method == CH_PROCESS_MS:
+            ms_conversion(buf[0], buf[1])
+        for ch in range(p.num_channels):
+            for _stage in range(NUM_PREEMPH_FILTERS):
+                prev = int(buf[ch, 0])
+                coef = preemphasis_calculate_coefficient(buf[ch], n)
+                preemphasis(buf[ch], n, prev, coef)
+        return buf
+
+    def _prefit_blocks(self, channels: Sequence[np.ndarray],
+                       num_samples: int) -> None:
+        """Fit every full block on the device in _CHUNK-row batches.
+
+        Fits are arena-independent, so this runs before any block-type
+        decision; blocks later deemed RAW/SILENT simply discard their entry.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        p = self.parameter
+        bs = p.num_samples_per_block
+        if not _dev.supported(self.preset.layer_num_params, bs):
+            return
+        nch = p.num_channels
+        full = []
+        pos = 0
+        idx = 0
+        while pos < num_samples:
+            n = min(bs, num_samples - pos)
+            if n == bs:
+                full.append((idx, pos))
+            idx += 1
+            pos += n
+        if not full:
+            return
+
+        fit = _dev.build_fit_fn(
+            self.preset.layer_num_params, self.preset.ridge_terms, bs,
+            p.bits_per_sample, LPC_COEF_BITWIDTH)
+
+        planes = np.empty((len(full), nch, bs), dtype=np.int32)
+        for row, (bi, pos) in enumerate(full):
+            planes[row] = self._preemph_plane(
+                [c[pos : pos + bs] for c in channels], bs)
+
+        rows = planes.reshape(len(full) * nch, bs)
+        outs = []
+        for start in range(0, rows.shape[0], _CHUNK):
+            chunk = rows[start : start + _CHUNK]
+            pad = _CHUNK - chunk.shape[0] if chunk.shape[0] < _CHUNK else 0
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, bs), np.int32)])
+            x = jnp.asarray(chunk)
+            if self._device is not None:
+                x = jax.device_put(x, self._device)
+            out = jax.tree.map(np.asarray, fit(x))
+            outs.append((out, chunk.shape[0] - pad))
+
+        # re-split per block
+        flat: List[dict] = []
+        for out, valid in outs:
+            for r in range(valid):
+                flat.append(_row_view(out, r))
+        for row, (bi, _pos) in enumerate(full):
+            self._fit_cache[bi] = _merge_rows(
+                flat[row * nch : (row + 1) * nch])
+
+    # -- per-block hook ------------------------------------------------------
+
+    def _encode_compress_payload(self, channels: Sequence[np.ndarray],
+                                 n: int) -> bytes:
+        cached = self._fit_cache.get(self._block_index)
+        if cached is None:
+            return super()._encode_compress_payload(channels, n)
+
+        # Install the device fit results into the network layers, replay the
+        # arena writes, then let the shared serialization path run with the
+        # fitting stage bypassed.
+        offsets = np.concatenate(
+            [[0], np.cumsum(self.preset.layer_num_params)])
+        net = self.network
+        orig = net.set_units_and_parameters
+        state = {"ch": 0}
+
+        def installed_fit(data, nn, iters, terms):
+            ch = state["ch"]
+            for li, layer in enumerate(net.layers):
+                layer.num_units = int(cached["units"][ch][li])
+                layer.params[: layer.num_params] = (
+                    cached["params"][ch][offsets[li] : offsets[li + 1]])
+            _dev.fold_parcor_state(
+                net.lpcc.parcor_coef, cached["per_ch"][ch], num_channels=1)
+            state["ch"] += 1
+
+        net.set_units_and_parameters = installed_fit
+        try:
+            return super()._encode_compress_payload(channels, n)
+        finally:
+            net.set_units_and_parameters = orig
+
+    def encode_block(self, channels: Sequence[np.ndarray], n: int) -> bytes:
+        self._block_index += 1
+        return super().encode_block(channels, n)
+
+    def encode_whole(self, channels: Sequence[np.ndarray],
+                     num_samples: int, progress_cb=None) -> bytes:
+        if self.parameter is None:
+            raise RuntimeError("set_encode_parameter not called")
+        self._fit_cache.clear()
+        self._block_index = -1
+        self._prefit_blocks(channels, num_samples)
+        return super().encode_whole(channels, num_samples, progress_cb)
+
+
+def _row_view(out: dict, r: int) -> dict:
+    """Slice one batch row out of a device fit result (arena included)."""
+    arena = [
+        [([lp[r : r + 1] for lp in level_parcor],
+          [zc[r : r + 1] for zc in level_zc],
+          best[r : r + 1])
+         for (level_parcor, level_zc, best) in term]
+        for term in out["arena"]
+    ]
+    return {
+        "units": out["units"][r],
+        "params": out["params"][r],
+        "int_coefs": out["int_coefs"][r],
+        "rshifts": out["rshifts"][r],
+        "best_term": out["best_term"][r : r + 1],
+        "arena": arena,
+    }
+
+
+def _merge_rows(rows: List[dict]) -> dict:
+    """Bundle one block's per-channel rows for the payload hook."""
+    return {
+        "units": [r["units"] for r in rows],
+        "params": [r["params"] for r in rows],
+        "per_ch": rows,
+    }

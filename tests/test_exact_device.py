@@ -1,0 +1,172 @@
+"""Device-exact analysis (ops/exact_device) vs the host oracle.
+
+SURVEY §7 hard-part #1: the serial-order f64 analysis pipeline expressed as
+one batched XLA computation must be BIT-identical to `linne_tpu.exact` on
+XLA:CPU — identical f64 layer params, identical quantized coefficients,
+identical stale-arena post-state. These tests run on the forced-CPU backend
+(conftest); the TPU-hardware behavior (emulated f64) is measured by bench.py
+and recorded per round, not asserted here.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from linne_tpu.constants import LPC_COEF_BITWIDTH
+from linne_tpu.exact.lpc import quantize_coefficients
+from linne_tpu.exact.network import NetworkState
+from linne_tpu.ops.exact_device import (
+    build_fit_fn,
+    fold_parcor_state,
+    supported,
+)
+from linne_tpu.presets import PRESETS
+
+BPS = 16
+N = 2048  # small block: full unit-level sweep, fast compile
+
+
+def _signal(B, n, seed, nch=1):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    rows = []
+    for _ in range(B * nch):
+        s = np.round(
+            rng.uniform(1500, 24000)
+            * np.sin(2 * np.pi * rng.uniform(60, 6000) * t / 44100)
+            + rng.normal(0, rng.uniform(15, 2500), n))
+        rows.append(s)
+    sig = np.clip(np.stack(rows), -32768, 32767).astype(np.int32)
+    return sig.reshape(B * nch, n)
+
+
+def _oracle_fit(preset, sig, n):
+    net = NetworkState(n, 8, 258)
+    net.set_layer_structure(n, preset.layer_num_params)
+    x = sig.astype(np.float64) * 2.0 ** (-(BPS - 1))
+    net._set_units_and_parameters_py(x, n, 0, preset.ridge_terms)
+    units = [L.num_units for L in net.layers]
+    params = np.concatenate([L.params[: L.num_params] for L in net.layers])
+    ints, rshifts = [], []
+    for L in net.layers:
+        ic, rs = quantize_coefficients(
+            L.params, L.num_params, LPC_COEF_BITWIDTH)
+        ints.append(ic[: L.num_params].astype(np.int32))
+        rshifts.append(rs)
+    return (np.asarray(units), params, np.concatenate(ints),
+            np.asarray(rshifts), net)
+
+
+def test_supported_shapes():
+    assert supported((2, 32), 10240)
+    assert supported((4, 64, 8), 10240)
+    assert supported((4, 128, 16), 10240)
+    assert supported((2, 32), 2048)
+    # odd length: every unit level has an odd sub-length (stale Welch middle)
+    assert not supported((2, 32), 2047)
+    # block shorter than the layer order
+    assert not supported((2, 32), 16)
+
+
+@pytest.mark.parametrize("preset_idx", [0, 1])
+def test_fit_bitexact_vs_oracle(preset_idx):
+    preset = PRESETS[preset_idx]
+    B = 3
+    sig = _signal(B, N, seed=10 + preset_idx)
+    fit = build_fit_fn(preset.layer_num_params, preset.ridge_terms, N, BPS,
+                       LPC_COEF_BITWIDTH)
+    out = jax.tree.map(np.asarray, fit(jnp.asarray(sig)))
+    for b in range(B):
+        u, p, ic, rs, _net = _oracle_fit(preset, sig[b], N)
+        np.testing.assert_array_equal(out["units"][b], u)
+        np.testing.assert_array_equal(out["params"][b], p)
+        np.testing.assert_array_equal(out["int_coefs"][b], ic)
+        np.testing.assert_array_equal(out["rshifts"][b], rs)
+
+
+def test_arena_fold_matches_oracle_state():
+    """The replayed parcor writes equal the oracle arena after sequential
+    per-channel fits — the state the next block-type decision reads."""
+    preset = PRESETS[1]  # two ridge terms: exercises the best-term refit
+    nch = 2
+    sig = _signal(1, N, seed=77, nch=nch)
+
+    net = NetworkState(N, 8, 258)
+    net.set_layer_structure(N, preset.layer_num_params)
+    for ch in range(nch):
+        net._set_units_and_parameters_py(
+            sig[ch].astype(np.float64) * 2.0 ** (-(BPS - 1)),
+            N, 0, preset.ridge_terms)
+
+    fit = build_fit_fn(preset.layer_num_params, preset.ridge_terms, N, BPS,
+                       LPC_COEF_BITWIDTH)
+    out = jax.tree.map(np.asarray, fit(jnp.asarray(sig)))
+    arena = np.zeros_like(net.lpcc.parcor_coef)
+    fold_parcor_state(arena, out, num_channels=nch)
+
+    m = max(preset.layer_num_params) + 2
+    np.testing.assert_array_equal(arena[:m], net.lpcc.parcor_coef[:m])
+
+
+def test_zero_channel_lane():
+    """An all-zero lane inside a nonzero batch takes the zerocase mask path
+    and must match the oracle's early-out values."""
+    preset = PRESETS[0]
+    sig = _signal(2, N, seed=5)
+    sig[1] = 0
+    fit = build_fit_fn(preset.layer_num_params, preset.ridge_terms, N, BPS,
+                       LPC_COEF_BITWIDTH)
+    out = jax.tree.map(np.asarray, fit(jnp.asarray(sig)))
+    for b in range(2):
+        u, p, ic, rs, _ = _oracle_fit(preset, sig[b], N)
+        np.testing.assert_array_equal(out["units"][b], u)
+        np.testing.assert_array_equal(out["params"][b], p)
+        np.testing.assert_array_equal(out["int_coefs"][b], ic)
+        np.testing.assert_array_equal(out["rshifts"][b], rs)
+
+
+def test_device_encoder_byte_identical():
+    """DeviceExactEncoder == ExactEncoder bytes on a multi-block signal with
+    a partial tail (host-fallback block) and a silent block."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    nsamp = N * 2 + 777  # 2 full blocks + tail
+    sig2 = _signal(1, nsamp, seed=31, nch=2)
+    sig2[:, N : N + 400] = 0  # quiet stretch, keeps type decision honest
+
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=0,
+        ch_process_method=1, num_samples_per_block=N)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    ref = host.encode_whole([sig2[0], sig2[1]], nsamp)
+
+    old_chunk = de._CHUNK
+    de._CHUNK = 4
+    try:
+        dev = de.DeviceExactEncoder()
+        dev.set_encode_parameter(param)
+        got = dev.encode_whole([sig2[0], sig2[1]], nsamp)
+    finally:
+        de._CHUNK = old_chunk
+    assert got == ref
+
+
+def test_device_encoder_rejects_unsupported_modes():
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact.device_encoder import DeviceExactEncoder
+
+    enc = DeviceExactEncoder()
+    with pytest.raises(ValueError):
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=2, bits_per_sample=16, sampling_rate=44100,
+            preset=0, ch_process_method=1, enable_learning=True))
+    with pytest.raises(ValueError):
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=2, bits_per_sample=16, sampling_rate=44100,
+            preset=0, ch_process_method=1, num_afmethod_iterations=2))
