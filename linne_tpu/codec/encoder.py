@@ -129,7 +129,6 @@ class TpuEncoder:
         self.preset = None
         self.codebook = None
         self._analyze_cache = {}
-        self._exact_tail = None
         self._maxw_seen = {}  # block length -> widest residual seen
 
     def set_encode_parameter(self, parameter: EncodeParameter) -> None:
@@ -138,7 +137,6 @@ class TpuEncoder:
         self.preset = PRESETS[parameter.preset]
         self.codebook = get_codebook(self.preset.coef_freq_table)
         self._analyze_cache = {}
-        self._exact_tail = None
         self._maxw_seen = {}
 
     # -- the jitted per-batch analysis -------------------------------------
@@ -572,15 +570,19 @@ class TpuEncoder:
 
     def _encode_tail_host(self, block_sig: np.ndarray, n: int) -> bytes:
         """Frame one partial block via the byte-exact host encoder (same
-        wire format, reference-identical coefficient selection)."""
-        if self._exact_tail is None:
-            from ..exact.encoder import ExactEncoder
+        wire format, reference-identical coefficient selection).
 
-            enc = ExactEncoder(self.config)
-            enc.set_encode_parameter(self.parameter)
-            self._exact_tail = enc
+        Every tail gets a FRESH encoder: the reference encodes each track
+        with its own encoder state, so tail bytes must not depend on other
+        tracks' (or earlier calls') analysis arena — and standalone blocks
+        are order-independent, which lets encode_many overlap tail encoding
+        with the device full-block loop on a thread."""
+        from ..exact.encoder import ExactEncoder
+
+        enc = ExactEncoder(self.config)
+        enc.set_encode_parameter(self.parameter)
         nch = self.parameter.num_channels
-        return self._exact_tail.encode_block(
+        return enc.encode_block(
             [block_sig[c, :n] for c in range(nch)], n)
 
     def _frame_short_block(self, block_sig: np.ndarray, n: int) -> bytes:
@@ -708,6 +710,38 @@ class TpuEncoder:
                     (ti, nfull, sig[:, nfull * spb :]))
 
         per_track_blocks = {ti: {} for ti in range(len(tracks))}
+
+        # classify tails BEFORE the device loop: host tails are standalone
+        # blocks (fresh encoder each, _encode_tail_host), so they encode on
+        # a background thread while this thread mostly blocks on device RPC
+        # — on a 1-core host the tail cost hides entirely inside the device
+        # wait. The host/device decision must not observe the device-tail
+        # compiles made later in this call, hence the upfront pass.
+        host_tail_members = []  # (ti, b, data, tail_len)
+        device_tails = []
+        for tail_len, members in tails.items():
+            if not compress_viable(self.preset, spb, tail_len):
+                for ti, b, data in members:
+                    per_track_blocks[ti][b] = self._frame_short_block(
+                        data, tail_len)
+            elif self._use_host_tail(tail_len):
+                host_tail_members.extend(
+                    (ti, b, data, tail_len) for ti, b, data in members)
+            else:
+                device_tails.append((tail_len, members))
+
+        tail_pool = None
+        tail_futures = []
+        if host_tail_members:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            tail_pool = ThreadPoolExecutor(
+                max_workers=min(len(host_tail_members), os.cpu_count() or 1))
+            tail_futures = [
+                tail_pool.submit(self._encode_tail_host, data, tl)
+                for (_ti, _b, data, tl) in host_tail_members]
+
         # full blocks, batched across tracks (bounded dispatch-ahead, see
         # encode_whole)
         if all_full:
@@ -732,18 +766,8 @@ class TpuEncoder:
                     ti, b = placements[start + off]
                     per_track_blocks[ti][b] = block_bytes
                 start += item[3]
-        # tails, grouped by length
-        for tail_len, members in tails.items():
-            if not compress_viable(self.preset, spb, tail_len):
-                for ti, b, data in members:
-                    per_track_blocks[ti][b] = self._frame_short_block(
-                        data, tail_len)
-                continue
-            if self._use_host_tail(tail_len):
-                for ti, b, data in members:
-                    per_track_blocks[ti][b] = self._encode_tail_host(
-                        data, tail_len)
-                continue
+        # device tails, grouped by length
+        for tail_len, members in device_tails:
             batch = np.stack([m[2] for m in members])
             fn, num_analyze = self._analyze_fn(tail_len)
             width = max(tail_len, num_analyze)
@@ -754,6 +778,11 @@ class TpuEncoder:
             framed = self._drain_blocks(*self._dispatch_batch(batch, tail_len))
             for (ti, b, _), block_bytes in zip(members, framed):
                 per_track_blocks[ti][b] = block_bytes
+
+        if tail_pool is not None:
+            for (ti, b, _d, _tl), fut in zip(host_tail_members, tail_futures):
+                per_track_blocks[ti][b] = fut.result()
+            tail_pool.shutdown()
 
         outs = []
         for ti, (sig, ns) in enumerate(track_signals):
