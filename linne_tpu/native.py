@@ -12,6 +12,7 @@ import ctypes
 import os
 import pathlib
 import subprocess
+import sys
 import threading
 
 import numpy as np
@@ -19,7 +20,8 @@ import numpy as np
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
 _SRC = _ROOT / "native" / "linne_host.cpp"
 _BUILD_DIR = _ROOT / "native" / "build"
-_LIB_PATH = _BUILD_DIR / "linne_host.so"
+_WIN = sys.platform == "win32"
+_LIB_PATH = _BUILD_DIR / ("linne_host.dll" if _WIN else "linne_host.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -33,24 +35,54 @@ _f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 
 
+def _build_cmds():
+    """Candidate compiler invocations, best first. Windows tries MSVC's cl,
+    then clang-cl, then a MinGW g++ (matching the reference's full-speed
+    4-OS CI matrix, reference: .github/workflows/c-cpp.yml:14-18); everything
+    else is g++ with a -march=native -> generic fallback."""
+    src, out = str(_SRC), str(_LIB_PATH)
+    if _WIN:
+        # /fp:precise + the in-source `#pragma fp_contract(off)` keep the
+        # exact float64 helpers rounding every product before adding.
+        # MSVC has no -fwrapv; the format's wraparound arithmetic is done
+        # on unsigned/explicitly-cast values in the hot paths, and the
+        # byte-exact golden suite gates any build that gets this wrong.
+        cl = ["cl", "/nologo", "/O2", "/fp:precise", "/std:c++17", "/EHsc",
+              "/DLINNE_HOST_BUILD_DLL", "/LD", src, f"/Fe:{out}",
+              f"/Fo:{str(_BUILD_DIR)}\\"]
+        clangcl = ["clang-cl", "/O2", "/fp:precise", "/std:c++17", "/EHsc",
+                   "/DLINNE_HOST_BUILD_DLL", "/LD", src, f"/Fe:{out}"]
+        for arch in ("/arch:AVX512", "/arch:AVX2", None):
+            extra = [arch] if arch else []
+            yield cl[:1] + extra + cl[1:]
+            yield clangcl[:1] + extra + clangcl[1:]
+        yield ["g++", "-O3", "-fwrapv", "-ffp-contract=off", "-shared",
+               "-std=c++17", "-DLINNE_HOST_BUILD_DLL", "-march=native",
+               src, "-o", out]
+        yield ["g++", "-O3", "-fwrapv", "-ffp-contract=off", "-shared",
+               "-std=c++17", "-DLINNE_HOST_BUILD_DLL", src, "-o", out]
+        return
+    # -ffp-contract=off: the exact float64 helpers must round every product
+    # before adding (matching the numpy oracle); the helpers also carry a
+    # per-function attribute so differently-flagged builds stay exact.
+    # The library is always built on the machine it runs on, so tune for
+    # it; fall back to generic codegen if the toolchain rejects it.
+    base = ["g++", "-O3", "-fwrapv", "-ffp-contract=off", "-fPIC",
+            "-shared", "-std=c++17", "-pthread"]
+    for extra in (["-march=native"], []):
+        yield base + extra + [src, "-o", out]
+
+
 def _build() -> bool:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     if (_LIB_PATH.exists()
             and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime):
         return True
-    # -ffp-contract=off: the exact float64 helpers must round every product
-    # before adding (matching the numpy oracle); the helpers also carry a
-    # per-function attribute so differently-flagged builds stay exact
-    base = ["g++", "-O3", "-fwrapv", "-ffp-contract=off", "-fPIC",
-            "-shared", "-std=c++17", "-pthread"]
-    # the library is always built on the machine it runs on, so tune for it;
-    # fall back to generic codegen if the toolchain rejects -march=native
-    for extra in (["-march=native"], []):
+    for cmd in _build_cmds():
         try:
-            subprocess.run(
-                base + extra + [str(_SRC), "-o", str(_LIB_PATH)],
-                check=True, capture_output=True)
-            return True
+            subprocess.run(cmd, check=True, capture_output=True)
+            if _LIB_PATH.exists():
+                return True
         except (OSError, subprocess.CalledProcessError):
             continue
     return False

@@ -29,6 +29,23 @@
 
 #include "linne_host.h"
 
+// ---- compiler portability shims (MSVC lacks the GCC builtins) -------------
+#if defined(_MSC_VER) && !defined(__clang__)
+#include <intrin.h>
+#include <stdlib.h>
+static inline uint64_t linne_bswap64(uint64_t x) { return _byteswap_uint64(x); }
+static inline int linne_clz64(uint64_t x) {       // x != 0
+    unsigned long i; _BitScanReverse64(&i, x); return 63 - (int)i;
+}
+static inline int linne_clz32(uint32_t x) {       // x != 0
+    unsigned long i; _BitScanReverse(&i, x); return 31 - (int)i;
+}
+#else
+static inline uint64_t linne_bswap64(uint64_t x) { return __builtin_bswap64(x); }
+static inline int linne_clz64(uint64_t x) { return __builtin_clzll(x); }
+static inline int linne_clz32(uint32_t x) { return __builtin_clz(x); }
+#endif
+
 // The bulk CRC16 fold, the 8-byte bit-writer commit / bit-reader refill, and
 // the unpack fast paths all memcpy words and index bytes via shifts assuming
 // byte 0 is the low-order lane. Guard the assumption so a big-endian embedder
@@ -55,7 +72,7 @@ struct BitWriter {
             // bytes in one 8-byte store (the extra trailing byte is
             // overwritten by the next commit or by flush_byte_align)
             int nbytes = nbits >> 3;
-            uint64_t w = __builtin_bswap64(acc << (64 - nbits));
+            uint64_t w = linne_bswap64(acc << (64 - nbits));
             std::memcpy(buf + pos, &w, 8);
             pos += nbytes;
             nbits -= nbytes * 8;
@@ -117,7 +134,7 @@ struct BitReader {
             // seven byte appends (the Rice decode loop refills constantly)
             uint64_t w;
             std::memcpy(&w, buf + pos, 8);
-            w = __builtin_bswap64(w);
+            w = linne_bswap64(w);
             int take = (63 - nbits) >> 3;  // bytes, keeps nbits <= 63
             if (take == 0) return;         // guards the shift below
             acc = (acc << (take * 8)) | (w >> (64 - take * 8));
@@ -155,7 +172,7 @@ struct BitReader {
                 continue;
             }
             // highest set bit position within nbits
-            int top = 63 - __builtin_clzll(acc);
+            int top = 63 - linne_clz64(acc);
             run += static_cast<uint32_t>(nbits - 1 - top);
             nbits = top;
             acc &= (nbits ? ((1ULL << nbits) - 1) : 0ULL);
@@ -198,7 +215,7 @@ inline int32_t zigzag_dec(uint32_t u) {
 
 inline void gamma_put(BitWriter& w, uint32_t val) {
     if (val == 0) { w.put(1, 1); return; }
-    int ndigit = 32 - __builtin_clz(val + 1);
+    int ndigit = 32 - linne_clz32(val + 1);
     w.put_zeros(ndigit - 1);
     w.put(val + 1, ndigit);
 }
@@ -241,7 +258,7 @@ inline uint32_t rice_get(BitReader& r, uint32_t k1, uint32_t k2) {
     if (r.nbits > 0) {
         uint64_t win = r.acc << (64 - r.nbits);
         if (win != 0) {
-            int q = __builtin_clzll(win);
+            int q = linne_clz64(win);
             uint32_t k = (q == 0) ? k1 : k2;
             int need = q + 1 + static_cast<int>(k);
             if (need <= r.nbits) {
@@ -287,11 +304,11 @@ inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
         uint64_t w;
         std::memcpy(&w, buf + byte, 8);
         int shift = static_cast<int>(bitpos & 7);
-        w = __builtin_bswap64(w) << shift;
+        w = linne_bswap64(w) << shift;
         int avail = 64 - shift;  // every loaded bit past the shift is valid
         int used = 0;
         while (s < nsmpl) {
-            int q = __builtin_clzll(w | 1);
+            int q = linne_clz64(w | 1);
             uint32_t k = q ? k2 : k1;
             int need = q + 1 + static_cast<int>(k);
             // strict <: a symbol exactly filling the window would shift by
@@ -319,10 +336,10 @@ inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
                 uint64_t w2;
                 std::memcpy(&w2, buf + b2, 8);
                 int sh2 = static_cast<int>(p & 7);
-                w2 = __builtin_bswap64(w2) << sh2;
+                w2 = linne_bswap64(w2) << sh2;
                 int av2 = 64 - sh2;
                 if (w2 == 0) { q += av2; p += av2; continue; }
-                int z = __builtin_clzll(w2);
+                int z = linne_clz64(w2);
                 q += z;
                 p += z + 1;
                 break;
@@ -338,7 +355,7 @@ inline int rice_run(BitReader& r, uint32_t k2, int nsmpl, int32_t* out) {
                 if (b3 > max_byte) { r.seek_bit(bitpos); return s; }
                 uint64_t w3;
                 std::memcpy(&w3, buf + b3, 8);
-                w3 = __builtin_bswap64(w3) << (p & 7);
+                w3 = linne_bswap64(w3) << (p & 7);
                 payload = static_cast<uint32_t>(w3 >> (64 - k));
             }
             p += k;
@@ -1375,6 +1392,11 @@ void linne_unpack_bits(const uint32_t* words, int64_t nrows,
 // contraction off for everything below it regardless of build flags
 #pragma clang fp contract(off)
 #define LINNE_EXACT_FP
+#elif defined(_MSC_VER)
+// MSVC: no per-function attribute; the file-scope pragma disables
+// contraction for every function below this point (the exact helpers)
+#pragma fp_contract(off)
+#define LINNE_EXACT_FP
 #else
 #define LINNE_EXACT_FP __attribute__((optimize("fp-contract=off")))
 #endif
@@ -2311,7 +2333,7 @@ int32_t linne_exact_rice_search(const int32_t* data, int64_t n,
                 // gamma bits: 1 for 0, else 2*bit_length(zz+1) - 1
                 bits += (zz == 0)
                     ? 1u
-                    : (2u * (32 - __builtin_clz(zz + 1)) - 1u);
+                    : (2u * (32 - linne_clz32(zz + 1)) - 1u);
             }
             prevk2 = k2;
         }

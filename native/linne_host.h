@@ -21,17 +21,26 @@
 
 #include <stdint.h>
 
+/* Symbol visibility: building the Windows DLL needs an explicit export
+ * attribute (MSVC exports nothing by default); everywhere else the default
+ * visibility already exposes the C symbols. */
+#if defined(_WIN32) && defined(LINNE_HOST_BUILD_DLL)
+#define LINNE_HOST_API __declspec(dllexport)
+#else
+#define LINNE_HOST_API
+#endif
+
 #ifdef __cplusplus
 extern "C" {
 #endif
 
 /* CRC16-IBM (poly 0xA001 reflected), init 0 — the per-block checksum. */
-uint16_t linne_crc16(const uint8_t* data, uint64_t size);
+LINNE_HOST_API uint16_t linne_crc16(const uint8_t* data, uint64_t size);
 
 /* Serialize one COMPRESS block payload (preemph state, unit/rshift/Huffman
  * coefficient side info, partitioned recursive-Rice residual planes).
  * Returns payload byte size, or -1 if out_cap is too small. */
-int64_t linne_pack_compress_payload(
+LINNE_HOST_API int64_t linne_pack_compress_payload(
     const int32_t* residuals,     /* [nch][n] */
     const int32_t* coefs,         /* [nch][total_order] */
     const int32_t* log2_units,    /* [nch][nlayers] */
@@ -48,7 +57,7 @@ int64_t linne_pack_compress_payload(
 
 /* Parse one COMPRESS block payload. Returns consumed (byte-aligned) byte
  * count, or -1 on malformed input. */
-int64_t linne_unpack_compress_payload(
+LINNE_HOST_API int64_t linne_unpack_compress_payload(
     const uint8_t* data, int64_t size,
     const int16_t* huff_node0, const int16_t* huff_node1, int32_t huff_root,
     int32_t num_symbols,
@@ -63,7 +72,7 @@ int64_t linne_unpack_compress_payload(
 
 /* Reconstruct one block in place from residual planes: reversed layer
  * cascade (unit IIR synthesis), two-stage de-emphasis, MS->LR. */
-void linne_synthesize_block(
+LINNE_HOST_API void linne_synthesize_block(
     int32_t* chdata,              /* [nch][n] residuals -> samples */
     const int32_t* coefs, const int32_t* log2_units, const int32_t* rshifts,
     const int32_t* preemph_prev, const int32_t* preemph_coef,
@@ -71,7 +80,7 @@ void linne_synthesize_block(
     int32_t nstages, int32_t ms);
 
 /* Standalone fused multi-stage de-emphasis of one channel plane. */
-void linne_deemphasis(int32_t* data, int32_t n, const int32_t* prevs,
+LINNE_HOST_API void linne_deemphasis(int32_t* data, int32_t n, const int32_t* prevs,
                       const int32_t* coefs, int32_t nstages);
 
 /* Whole-stream decode: scan all block frames of a .lnn body (bytes after
@@ -79,7 +88,7 @@ void linne_deemphasis(int32_t* data, int32_t n, const int32_t* prevs,
  * synthesize every block, threaded over independent blocks (num_threads
  * <= 0 selects hardware concurrency). Output planes are out[ch][sample].
  * Returns 0 ok, -1 malformed stream, -2 CRC mismatch, -3 corrupt payload. */
-int32_t linne_decode_stream(
+LINNE_HOST_API int32_t linne_decode_stream(
     const uint8_t* data, int64_t size, int64_t total_samples,
     const int16_t* huff_node0, const int16_t* huff_node1, int32_t huff_root,
     int32_t num_symbols,
@@ -90,7 +99,7 @@ int32_t linne_decode_stream(
 /* Encoder-side integer predict cascade for one layer (residual[t] =
  * data[t] + (rounded >> rshift) prediction), unit-split semantics of
  * linne_lpc_predict.c. */
-void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
+LINNE_HOST_API void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
                          const int32_t* coef, int32_t order, int32_t rshift,
                          int32_t num_units);
 
@@ -101,9 +110,9 @@ void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
  * unit_predict: out[t] = (include_base ? x[t] : 0) + serial
  * sum_j x[t-npu+j]*params[unit(t)*npu+j] with +0.0 left context; requires
  * num_units | n. */
-void linne_exact_autocorr(const double* x, int64_t n, int32_t nlags,
+LINNE_HOST_API void linne_exact_autocorr(const double* x, int64_t n, int32_t nlags,
                           double* out);
-void linne_exact_unit_predict(const double* x, int64_t n,
+LINNE_HOST_API void linne_exact_unit_predict(const double* x, int64_t n,
                               const double* params, int32_t num_units,
                               int32_t npu, int32_t include_base,
                               double* out);
@@ -112,17 +121,17 @@ void linne_exact_unit_predict(const double* x, int64_t n,
  * accumulation order of the encoder's auxiliary-function method. obj
  * receives the raw (undivided) serial residual sum; cholesky returns 0 or
  * -1 on a non-positive pivot. */
-void linne_exact_af_normal(const double* data, int64_t n, const double* a,
+LINNE_HOST_API void linne_exact_af_normal(const double* data, int64_t n, const double* a,
                            int32_t order, double eps, double* r_mat,
                            double* r_vec, double* obj);
-int32_t linne_exact_cholesky_solve(double* A, const double* b, int32_t dim,
+LINNE_HOST_API int32_t linne_exact_cholesky_solve(double* A, const double* b, int32_t dim,
                                    double* x);
 
 /* Trainer layer backward (exact chains of the oracle): writes dparams and
  * accumulates the input gradient into grad_inout (which arrives holding
  * the incoming gradient; dout is a read-only copy of it). Requires
  * num_units | n. */
-void linne_exact_layer_backward(const double* din, const double* dout,
+LINNE_HOST_API void linne_exact_layer_backward(const double* din, const double* dout,
                                 double* grad_inout, const double* params,
                                 int32_t num_units, int32_t npu, int64_t n,
                                 double* dparams);
@@ -132,7 +141,7 @@ void linne_exact_layer_backward(const double* din, const double* dout,
  * cascade. params/dparams/momentum are the per-layer arrays concatenated
  * (momentum zeroed by the caller); work holds (num_layers + 3) * n
  * doubles of scratch. Requires num_units[l] | n for every layer. */
-void linne_exact_train(
+LINNE_HOST_API void linne_exact_train(
     const double* data, int64_t n, int32_t num_layers,
     const int32_t* num_units, const int32_t* num_params, double* params,
     double* dparams, double* momentum, int32_t max_iterations,
@@ -153,7 +162,7 @@ void linne_exact_train(
  * arguments fall outside the supported envelope (num_params > 258, empty
  * level list, non-dividing level, or an IRLS refit with no residual
  * samples). */
-int32_t linne_exact_fit_layer(
+LINNE_HOST_API int32_t linne_exact_fit_layer(
     const double* data, int64_t n, int32_t num_params,
     int32_t num_af_iterations, double regular_term, double flt_eps,
     double flt_max, const double* weights, const int64_t* w_off,
@@ -173,7 +182,7 @@ int32_t linne_exact_fit_layer(
  * must precheck (num_params[l] in (0, 258] and n > num_params[l] for every
  * layer, level tables built like the encoder's) because a mid-sweep bail
  * leaves the analysis scratch part-mutated. */
-int32_t linne_exact_fit_network(
+LINNE_HOST_API int32_t linne_exact_fit_network(
     const double* data, int64_t n, int32_t num_layers,
     const int32_t* num_params, int32_t num_af_iterations,
     const double* ridge_terms, int32_t num_ridges, double flt_eps,
@@ -186,14 +195,14 @@ int32_t linne_exact_fit_network(
 /* Partitioned-Rice parameter search (exact arithmetic of the encoder's
  * search): writes the winning per-partition k2 into k2s[0 : 1 << porder]
  * (caller provides room for 1024) and returns the winning porder. */
-int32_t linne_exact_rice_search(const int32_t* data, int64_t n,
+LINNE_HOST_API int32_t linne_exact_rice_search(const int32_t* data, int64_t n,
                                 int32_t* k2s);
 
 /* Levinson-Durbin with the oracle's exact op order: writes
  * lpc_coef[0:order] and parcor_coef[0:order]; the degenerate |ac[0]| <
  * flt_eps path zeroes [0:order+1] of both. order must be <= 258 (no-op
  * beyond). */
-void linne_exact_levinson(const double* ac, int32_t order, double flt_eps,
+LINNE_HOST_API void linne_exact_levinson(const double* ac, int32_t order, double flt_eps,
                           double* lpc_coef, double* parcor_coef);
 
 /* Unpack a W-bit two's-complement sample plane (the slim device->host
@@ -204,7 +213,7 @@ void linne_exact_levinson(const double* ac, int32_t order, double flt_eps,
  * roundup(n, g)). A sample straddling a word boundary reads the next word,
  * which is in-bounds only under that alignment. Requires a little-endian
  * host (compile-time enforced). */
-void linne_unpack_bits(const uint32_t* words, int64_t nrows,
+LINNE_HOST_API void linne_unpack_bits(const uint32_t* words, int64_t nrows,
                        int32_t words_per_row, int32_t width, int32_t n,
                        int32_t* out);
 
