@@ -186,6 +186,157 @@ def _degraded_host_bench(rate: int, spb: int) -> None:
           "metrics only", file=sys.stderr)
 
 
+def _decode_scaling_rows(signal, rate: int, spb: int) -> dict:
+    """VERDICT r3 item 2: the pooled-rows scaling curve as a captured
+    artifact. Device-stage decode throughput at 64/256/1024 pooled rows
+    (rows = streams x blocks x channels), with the RPC floor reported
+    separately so the reader can subtract the per-launch tunnel cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from linne_tpu.codec.encoder import TpuEncoder
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.codec.tpu_decoder import TpuDecoder
+
+    nblocks = 16
+    n = spb * nblocks
+    enc = TpuEncoder()
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=rate,
+        num_samples_per_block=spb, preset=0, ch_process_method=1))
+    data = enc.encode_whole([signal[0, :n], signal[1, :n]], n)
+
+    out = {}
+    f = jax.jit(lambda v: v + 1)
+    v = jnp.zeros(8, jnp.int32)
+    f(v).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        f(v).block_until_ready()
+    out["decode_rpc_floor_ms"] = round((time.perf_counter() - t0) / 10 * 1e3,
+                                       2)
+
+    tdec = TpuDecoder()
+    tdec.decode_many([data, data])  # warm every group-shape compile
+    for copies in (2, 8, 32):
+        rows = copies * nblocks * 2
+        msamples = copies * 2 * n / 1e6
+        best = float("inf")
+        for _ in range(3):
+            # _synthesize_pooled mutates the parsed residual planes in
+            # place, so re-parse outside the timed region
+            parsed = [tdec._parse_stream(data) for _ in range(copies)]
+            streams = [(si,) + p for si, p in enumerate(parsed)]
+            t0 = time.perf_counter()
+            tdec._synthesize_pooled(streams)
+            best = min(best, time.perf_counter() - t0)
+        out[f"decode_pooled_rows_{rows}_msamples_s"] = round(
+            msamples / best, 1)
+    return out
+
+
+def _decode_under_load(signal, rate: int, spb: int, stream7: bytes) -> dict:
+    """VERDICT r3 item 2: a regime on THIS box where the device decoder
+    wins end-to-end. While one thread saturates the single core with
+    byte-exact host encoding (the realistic companion workload), decode a
+    batch of streams with the native host path vs the pooled device path.
+    The native synthesis contends for the core; the device synthesis rides
+    the otherwise-idle chip."""
+    import threading
+
+    from linne_tpu.codec.decoder import Decoder
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.codec.tpu_decoder import TpuDecoder
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    nblocks = 16
+    n = spb * nblocks
+    copies = 8
+    datas = [stream7] * copies
+    msamples = copies * 2 * len(Decoder().decode_whole(stream7)[0]) / 1e6
+
+    stop = threading.Event()
+
+    def hog():
+        enc = ExactEncoder()
+        enc.set_encode_parameter(EncodeParameter(
+            num_channels=2, bits_per_sample=16, sampling_rate=rate,
+            num_samples_per_block=spb, preset=7, ch_process_method=1))
+        while not stop.is_set():
+            enc.encode_whole([signal[0, :n], signal[1, :n]], n)
+
+    results = {}
+    tdec = TpuDecoder()
+    tdec.decode_many(datas)  # warm compiles before loading the core
+    for name, fn in (
+        ("native", lambda: [Decoder().decode_whole(d) for d in datas]),
+        ("device", lambda: tdec.decode_many(datas)),
+    ):
+        stop.clear()
+        th = threading.Thread(target=hog, daemon=True)
+        th.start()
+        time.sleep(0.5)  # let the encoder reach steady state
+        try:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+        finally:
+            stop.set()
+            th.join(timeout=60)
+        results[f"decode_underload_{name}_msamples_s"] = round(
+            msamples / best, 1)
+    return results
+
+
+def _exact_device_rows(rate: int, spb: int) -> dict:
+    """VERDICT r3 item 1: the byte-exact analysis ON the device, measured
+    on the real chip. TPU f64 is float-float emulated (params differ at
+    ~1e-11), but the 8-bit error-feedback quantizer absorbs it: the metric
+    asserts BYTE equality of whole .lnn files against the host oracle and
+    reports the realtime multiple of the device-exact path."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    nblocks = 32
+    n = spb * nblocks
+    signal = make_signal(n, rate)
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=rate,
+        num_samples_per_block=spb, preset=0, ch_process_method=1)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    t0 = time.perf_counter()
+    ref = host.encode_whole([signal[0], signal[1]], n)
+    host_x = (n / rate) / (time.perf_counter() - t0)
+
+    old_chunk = de._CHUNK
+    de._CHUNK = 16  # matches the compile-cached [16, 10240] fit shape
+    try:
+        dev = de.DeviceExactEncoder()
+        dev.set_encode_parameter(param)
+        got = dev.encode_whole([signal[0], signal[1]], n)  # warm
+        identical = got == ref
+        best = float("inf")
+        for _ in range(3):
+            d2 = de.DeviceExactEncoder()
+            d2.set_encode_parameter(param)
+            t0 = time.perf_counter()
+            got2 = d2.encode_whole([signal[0], signal[1]], n)
+            best = min(best, time.perf_counter() - t0)
+            identical = identical and got2 == ref
+    finally:
+        de._CHUNK = old_chunk
+    return {
+        "exact_device_encode_mode0_realtime_x": round((n / rate) / best, 1),
+        "exact_device_byte_identical": bool(identical),
+        "exact_host_encode_mode0_realtime_x": round(host_x, 1),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -371,6 +522,20 @@ def main() -> None:
     corpus_dec_x = (4 * nt / rate) / corpus_dec_s
     corpus_dec_msamp = 4 * 2 * nt / 1e6 / corpus_dec_s
 
+    extra = {}
+    try:
+        extra.update(_decode_scaling_rows(signal, rate, spb))
+    except Exception as e:  # noqa: BLE001
+        print(f"# decode scaling rows failed: {e!r}", file=sys.stderr)
+    try:
+        extra.update(_decode_under_load(signal, rate, spb, data))
+    except Exception as e:  # noqa: BLE001
+        print(f"# decode-under-load row failed: {e!r}", file=sys.stderr)
+    try:
+        extra.update(_exact_device_rows(rate, spb))
+    except Exception as e:  # noqa: BLE001
+        print(f"# exact-device rows failed: {e!r}", file=sys.stderr)
+
     msamp = 2 * n / 1e6  # stereo samples in the track
     print(json.dumps({
         "metric": "mode7_encode_realtime_x",
@@ -390,6 +555,7 @@ def main() -> None:
         "corpus_decode_realtime_x": round(corpus_dec_x, 1),
         "corpus_decode_msamples_s": round(corpus_dec_msamp, 1),
         **samebox,
+        **extra,
     }))
     print(
         f"# platform={jax.devices()[0].platform} device={jax.devices()[0]} "

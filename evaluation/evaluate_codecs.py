@@ -210,9 +210,12 @@ def build_codecs(args):
     if getattr(args, "learning_rows", False):
         # quantify the TPU path's -l/-a numerical deviation (true jax.grad
         # trainer vs the reference's 1/npu-scaled backward; float32 AF
-        # refits) as size_pct deltas against the C CLI with the same flags
-        codecs.append(LinneTpuCodec(0, learning=True))
-        codecs.append(LinneTpuCodec(0, af_iters=3))
+        # refits) as size_pct deltas against the C CLI with the same flags.
+        # Modes 4 and 7 cover the deepest structures (orders 64/128), where
+        # the float deviation is largest (VERDICT r3 item 4).
+        for m in (0, 4, 7):
+            codecs.append(LinneTpuCodec(m, learning=True))
+            codecs.append(LinneTpuCodec(m, af_iters=3))
     if ref.is_file():
         for m in args.modes:
             codecs.append(CliCodec(
@@ -221,7 +224,8 @@ def build_codecs(args):
                 [str(ref), "-d", "{inp}", "{out}"], ".lnn"))
         if getattr(args, "learning_rows", False) or getattr(
                 args, "exact_rows", False):
-            flag_modes = [0, 7] if getattr(args, "exact_rows", False) else [0]
+            flag_modes = ([0, 7] if getattr(args, "exact_rows", False)
+                          else [0, 4, 7])
             for m in flag_modes:
                 codecs.append(CliCodec(
                     f"linne(C) -m {m} -l",
@@ -291,8 +295,9 @@ def synth_corpus(root: pathlib.Path):
 def recorded_corpus(root: pathlib.Path) -> int:
     """Real recorded material available on this machine (best effort).
 
-    RWC (the reference's corpus) has no offline substitute here, but a few
-    genuinely recorded fixtures ship with installed packages; they make the
+    RWC (the reference's corpus) has no offline substitute here, but a
+    dozen genuinely recorded fixtures ship with installed packages (speech,
+    plucked strings, percussive foley, a music loop); they make the
     compression-parity claim harder to game with tonal synthetics. Nothing
     is committed to the repo — tracks are materialized at eval time from
     their source packages and skipped when absent.
@@ -301,35 +306,48 @@ def recorded_corpus(root: pathlib.Path) -> int:
     d.mkdir(parents=True, exist_ok=True)
     count = 0
 
-    # 5 s real 8-bit/48k mono recording (reference wav-parser fixture)
-    src = pathlib.Path("/root/reference/test/wav/a.wav")
-    if src.is_file():
-        fmt, samples = read_wav(str(src))
-        write_wav(str(d / "voice8.wav"), samples, fmt.sampling_rate,
-                  fmt.bits_per_sample)
-        count += 1
+    pygame_data = pathlib.Path(
+        "/opt/venv/lib/python3.12/site-packages/pygame/examples/data")
+    py311 = pathlib.Path("/mnt/sandboxing/model_tools_env/v1/python/"
+                         "install/lib/python3.11")
 
-    # 0.3 s real 24-bit stereo plucked-string recording (CPython test data)
-    try:
-        import test as _cpython_test
-        src = pathlib.Path(_cpython_test.__file__).parent / (
-            "audiodata") / "pluck-pcm24.wav"
-    except ImportError:
-        src = pathlib.Path("/nonexistent")
-    if src.is_file():
+    # straight PCM WAV fixtures, re-materialized through our own reader so
+    # a bad container can't leak into the corpus
+    fixtures = [
+        # 5 s speech, 8-bit/48k mono (reference wav-parser fixture)
+        ("voice8", pathlib.Path("/root/reference/test/wav/a.wav"), None),
+        # plucked-string recording at three depths, 2ch (CPython test data)
+        ("pluck8", py311 / "test/audiodata/pluck-pcm8.wav", None),
+        ("pluck16", py311 / "test/audiodata/pluck-pcm16.wav", None),
+        ("pluck24", py311 / "test/audiodata/pluck-pcm24.wav", None),
+        ("pluck32to24", py311 / "test/audiodata/pluck-pcm32.wav", 24),
+        # 0.5 s speech, 16-bit/44.1k mono (IPython test fixture)
+        ("speech16", py311 / "site-packages/IPython/lib/tests/test.wav",
+         None),
+        # percussive foley + a 7 s music loop, 8-bit/11k mono (pygame)
+        ("car_door8", pygame_data / "car_door.wav", None),
+        ("boom8", pygame_data / "boom.wav", None),
+        ("whiff8", pygame_data / "whiff.wav", None),
+        ("punch8", pygame_data / "punch.wav", None),
+        ("house8", pygame_data / "house_lo.wav", None),
+    ]
+    for name, src, to_bps in fixtures:
+        if not src.is_file():
+            continue
         try:
             fmt, samples = read_wav(str(src))
-            write_wav(str(d / "pluck24.wav"), samples, fmt.sampling_rate,
-                      fmt.bits_per_sample)
+            bps = fmt.bits_per_sample
+            if to_bps is not None and to_bps < bps:
+                samples = [ch >> (bps - to_bps) for ch in samples]
+                bps = to_bps
+            write_wav(str(d / f"{name}.wav"), samples, fmt.sampling_rate,
+                      bps)
             count += 1
         except Exception:
             pass
 
-    # 7 s real music loop (pygame example data). Prefer the ogg decoded to
-    # 16-bit PCM by pygame's mixer (runs in whatever python has pygame);
-    # fall back to the 8-bit wav variant read directly.
-    pygame_data = pathlib.Path(
-        "/opt/venv/lib/python3.12/site-packages/pygame/examples/data")
+    # the same music loop as 16-bit STEREO via pygame's ogg decoder (the
+    # only stereo >8-bit recording reachable offline)
     helper = (
         "import pygame,numpy as np,sys\n"
         "pygame.mixer.pre_init(frequency=22050,size=-16,channels=2)\n"
@@ -337,7 +355,6 @@ def recorded_corpus(root: pathlib.Path) -> int:
         "a = pygame.sndarray.array(pygame.mixer.Sound(sys.argv[1]))\n"
         "np.save(sys.argv[2], a.T.astype(np.int32))\n")
     ogg = pygame_data / "house_lo.ogg"
-    done = False
     if ogg.is_file() and pathlib.Path("/opt/venv/bin/python").is_file():
         import os
         pcm = d / "house_pcm.npy"
@@ -350,12 +367,7 @@ def recorded_corpus(root: pathlib.Path) -> int:
             pcm.unlink()
             write_wav(str(d / "house16.wav"), arr, 22050, 16)
             count += 1
-            done = True
-    if not done and (pygame_data / "house_lo.wav").is_file():
-        fmt, samples = read_wav(str(pygame_data / "house_lo.wav"))
-        write_wav(str(d / "house8.wav"), samples, fmt.sampling_rate,
-                  fmt.bits_per_sample)
-        count += 1
+
     if not count:
         d.rmdir()
     return count
@@ -367,7 +379,7 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--modes", type=int, nargs="+", default=[0, 4, 7])
     ap.add_argument("--learning-rows", action="store_true",
-                    help="add -m 0 -l and -m 0 -a 3 rows (ours + C) to "
+                    help="add -m {0,4,7} -l and -a 3 rows (ours + C) to "
                          "quantify the TPU path's learning/AF deviation")
     ap.add_argument("--exact-rows", action="store_true",
                     help="benchmark the jax-free ExactEncoder host path "

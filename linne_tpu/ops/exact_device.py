@@ -453,11 +453,22 @@ def build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
 
     def fit(signals: jnp.ndarray):
         x = signals.astype(_F64) * scale  # exact: int -> f64, * 2^-k
-        per_term = [
-            _fit_pass(x, tuple(layer_num_params), n, t)
-            for t in ridge_terms
-        ]
         B = x.shape[0]
+        # the ridge term enters the math at exactly one multiply
+        # (ac[0] *= 1 + term), so the per-term sweep is a vmap over a
+        # traced scalar — ONE traced fit body instead of len(ridge_terms)
+        # copies (compile time is the binding constraint on TPU, where the
+        # emulated-f64 preset-0 graph alone takes ~19 min). vmap is
+        # per-lane op-identical here (no cross-lane reductions), so
+        # bit-exactness is preserved (pinned by the preset-1 oracle tests).
+        vm = jax.vmap(lambda t: _fit_pass(x, tuple(layer_num_params), n, t))
+        units_t, params_t, loss_t, arena_t = vm(
+            jnp.asarray(ridge_terms, _F64))
+        per_term = [
+            jax.tree.map(lambda a, i=i: a[i],
+                         (units_t, params_t, loss_t, arena_t))
+            for i in range(len(ridge_terms))
+        ]
         if len(per_term) == 1:
             units, params, _, _ = per_term[0]
             best_term = jnp.zeros((B,), jnp.int32)
