@@ -121,7 +121,10 @@ class DeviceExactEncoder(ExactEncoder):
                 [c[pos : pos + bs] for c in channels], bs)
 
         rows = planes.reshape(len(full) * nch, bs)
-        outs = []
+        # dispatch every chunk before fetching any result: jax dispatch is
+        # async, so the device pipelines the batches while the host isn't
+        # blocked on round trips between them
+        pending = []
         for start in range(0, rows.shape[0], _CHUNK):
             chunk = rows[start : start + _CHUNK]
             pad = _CHUNK - chunk.shape[0] if chunk.shape[0] < _CHUNK else 0
@@ -131,8 +134,9 @@ class DeviceExactEncoder(ExactEncoder):
             x = jnp.asarray(chunk)
             if self._device is not None:
                 x = jax.device_put(x, self._device)
-            out = jax.tree.map(np.asarray, fit(x))
-            outs.append((out, chunk.shape[0] - pad))
+            pending.append((fit(x), chunk.shape[0] - pad))
+        outs = [(jax.tree.map(np.asarray, out), valid)
+                for out, valid in pending]
 
         # re-split per block
         flat: List[dict] = []
@@ -167,7 +171,9 @@ class DeviceExactEncoder(ExactEncoder):
                 layer.params[: layer.num_params] = (
                     cached["params"][ch][offsets[li] : offsets[li + 1]])
             _dev.fold_parcor_state(
-                net.lpcc.parcor_coef, cached["per_ch"][ch], num_channels=1)
+                net.lpcc.parcor_coef, cached["per_ch"][ch], 1,
+                self.preset.layer_num_params, self.preset.ridge_terms,
+                self.parameter.num_samples_per_block)
             state["ch"] += 1
 
         net.set_units_and_parameters = installed_fit
@@ -192,20 +198,15 @@ class DeviceExactEncoder(ExactEncoder):
 
 def _row_view(out: dict, r: int) -> dict:
     """Slice one batch row out of a device fit result (arena included)."""
-    arena = [
-        [([lp[r : r + 1] for lp in level_parcor],
-          [zc[r : r + 1] for zc in level_zc],
-          best[r : r + 1])
-         for (level_parcor, level_zc, best) in term]
-        for term in out["arena"]
-    ]
     return {
         "units": out["units"][r],
         "params": out["params"][r],
         "int_coefs": out["int_coefs"][r],
         "rshifts": out["rshifts"][r],
         "best_term": out["best_term"][r : r + 1],
-        "arena": arena,
+        "arena_parcor": out["arena_parcor"][r : r + 1],
+        "arena_zc": out["arena_zc"][r : r + 1],
+        "arena_best": out["arena_best"][r : r + 1],
     }
 
 

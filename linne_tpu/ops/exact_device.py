@@ -434,8 +434,13 @@ def build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
       int_coefs [B, sum(P)] i32 — error-feedback-quantized coefficients
       rshifts   [B, L] i32      — per-layer right shifts
       best_term [B] i32         — winning ridge-candidate index
-      arena     nested per-term/layer/level parcor writes for
-                `fold_parcor_state`
+      arena_parcor [B, AW] f64, arena_zc [B, AZ] bool,
+      arena_best [B, T*L] i32   — the per-term/layer/level parcor arena
+                writes flattened in (term, layer, level) column order for
+                `fold_parcor_state` (three arrays, not a nested pytree:
+                every output leaf costs one D2H RPC through the tunnel,
+                and the nested form's ~25 leaves per batch dominated the
+                measured encode wall time)
 
     Restrictions (ValueError otherwise): AF iterations must be 0 — with 0
     iterations the reference's final refit recomputes exactly the winning
@@ -495,20 +500,53 @@ def build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
                 params[:, offsets[li] : offsets[li + 1]], coef_bits)
             int_parts.append(ic)
             rshifts.append(rs)
+
+        # flatten the arena in (term, layer, level) order — see docstring
+        ap_cols: List = []
+        zc_cols: List = []
+        best_cols: List = []
+        for ti in range(len(ridge_terms)):
+            arena_layers = per_term[ti][3]
+            for (level_parcor, level_zc, best) in arena_layers:
+                ap_cols.extend(level_parcor)
+                zc_cols.extend(level_zc)
+                best_cols.append(best)
         return {
             "units": units,
             "params": params,
             "int_coefs": jnp.concatenate(int_parts, axis=1),
             "rshifts": jnp.stack(rshifts, axis=1),
             "best_term": best_term,
-            "arena": [t[3] for t in per_term],
+            "arena_parcor": jnp.concatenate(ap_cols, axis=1),
+            "arena_zc": jnp.stack(zc_cols, axis=1),
+            "arena_best": jnp.stack(best_cols, axis=1),
         }
 
     return jax.jit(fit)
 
 
-def fold_parcor_state(parcor_coef: np.ndarray, out: dict,
-                      num_channels: int) -> None:
+def arena_layout(layer_num_params: Sequence[int], ridge_terms: Sequence[float],
+                 n: int):
+    """Column layout of the flattened arena arrays, in the same
+    (term, layer, level) order `build_fit_fn` emits: returns
+    (entries, n_layers) with entries[(ti, li, lvl)] = (parcor_off, npu_w,
+    zc_col)."""
+    entries = {}
+    off = 0
+    zc = 0
+    for ti in range(len(ridge_terms)):
+        for li, P in enumerate(layer_num_params):
+            for lvl, u in enumerate(_valid_levels(P, n)):
+                npu = P // u
+                entries[(ti, li, lvl)] = (off, npu, zc)
+                off += npu
+                zc += 1
+    return entries, len(layer_num_params)
+
+
+def fold_parcor_state(parcor_coef: np.ndarray, out: dict, num_channels: int,
+                      layer_num_params: Sequence[int],
+                      ridge_terms: Sequence[float], n: int) -> None:
     """Replay the fit's parcor_coef arena writes into the host array, in the
     reference's order: per channel, every sweep pass (each ridge term), then
     the final refit pass with the winning term (linne_network.c:605-630).
@@ -516,24 +554,29 @@ def fold_parcor_state(parcor_coef: np.ndarray, out: dict,
     Within one pass: per layer, each level deposits its last unit's parcor
     into [0:npu] (plus [npu] = 0 on the zero-signal early-out,
     lpc.c:268-275), then the refit at the chosen level re-deposits that
-    level's write. `parcor_coef` is mutated in place.
+    level's write. `parcor_coef` is mutated in place. Channel ch reads row
+    ch of the arena arrays.
     """
-    arena_terms = out["arena"]
+    entries, L = arena_layout(layer_num_params, ridge_terms, n)
+    ap = np.asarray(out["arena_parcor"])
+    az = np.asarray(out["arena_zc"])
+    ab = np.asarray(out["arena_best"])
     best_term = np.asarray(out["best_term"])
+    n_levels = [len(_valid_levels(P, n)) for P in layer_num_params]
 
-    def apply_pass(term_idx: int, ch: int) -> None:
-        for level_parcor, level_zc, best in arena_terms[term_idx]:
-            def deposit(li: int) -> None:
-                npu_w = level_parcor[li].shape[1]
-                parcor_coef[:npu_w] = level_parcor[li][ch]
-                if bool(np.asarray(level_zc[li])[ch]):
+    def apply_pass(ti: int, ch: int) -> None:
+        for li in range(L):
+            def deposit(lvl: int) -> None:
+                off, npu_w, zc = entries[(ti, li, lvl)]
+                parcor_coef[:npu_w] = ap[ch, off : off + npu_w]
+                if bool(az[ch, zc]):
                     parcor_coef[npu_w] = 0.0
 
-            for li in range(len(level_parcor)):
-                deposit(li)
-            deposit(int(np.asarray(best)[ch]))
+            for lvl in range(n_levels[li]):
+                deposit(lvl)
+            deposit(int(ab[ch, ti * L + li]))
 
     for ch in range(num_channels):
-        for ti in range(len(arena_terms)):
+        for ti in range(len(ridge_terms)):
             apply_pass(ti, ch)
         apply_pass(int(best_term[ch]), ch)

@@ -104,7 +104,8 @@ def test_arena_fold_matches_oracle_state():
                        LPC_COEF_BITWIDTH)
     out = jax.tree.map(np.asarray, fit(jnp.asarray(sig)))
     arena = np.zeros_like(net.lpcc.parcor_coef)
-    fold_parcor_state(arena, out, num_channels=nch)
+    fold_parcor_state(arena, out, nch, preset.layer_num_params,
+                      preset.ridge_terms, N)
 
     m = max(preset.layer_num_params) + 2
     np.testing.assert_array_equal(arena[:m], net.lpcc.parcor_coef[:m])
