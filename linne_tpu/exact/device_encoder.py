@@ -190,10 +190,82 @@ class DeviceExactEncoder(ExactEncoder):
                      num_samples: int, progress_cb=None) -> bytes:
         if self.parameter is None:
             raise RuntimeError("set_encode_parameter not called")
-        self._fit_cache.clear()
-        self._block_index = -1
-        self._prefit_blocks(channels, num_samples)
+        if not self._fit_cache:  # encode_many pre-installs a cache
+            self._block_index = -1
+            self._prefit_blocks(channels, num_samples)
         return super().encode_whole(channels, num_samples, progress_cb)
+
+    def encode_many(self, tracks: Sequence[Sequence[np.ndarray]],
+                    num_samples: Sequence[int]) -> List[bytes]:
+        """Encode a corpus byte-exactly with the full blocks of ALL tracks
+        pooled into shared device fit batches (the corpus regime is where
+        the device path amortizes its RPC floor: fit lanes are nearly free,
+        the serial host strands — per-track block-type decisions and bit
+        packing — are short). Each track is framed by a FRESH encoder
+        (reference semantics: one encoder state per file)."""
+        if self.parameter is None:
+            raise RuntimeError("set_encode_parameter not called")
+        import jax
+        import jax.numpy as jnp
+
+        p = self.parameter
+        bs = p.num_samples_per_block
+        nch = p.num_channels
+        outs: List[bytes] = []
+        if not _dev.supported(self.preset.layer_num_params, bs):
+            for chans, ns in zip(tracks, num_samples):
+                enc = DeviceExactEncoder(self.config, self._device)
+                enc.set_encode_parameter(p)
+                outs.append(enc.encode_whole(chans, ns))
+            return outs
+
+        fit = _dev.build_fit_fn(
+            self.preset.layer_num_params, self.preset.ridge_terms, bs,
+            p.bits_per_sample, LPC_COEF_BITWIDTH)
+
+        # gather (track, block) full-block planes across the corpus
+        placements = []  # (track_idx, block_idx)
+        plane_rows = []
+        for ti, (chans, ns) in enumerate(zip(tracks, num_samples)):
+            pos = 0
+            bi = 0
+            while pos < ns:
+                n = min(bs, ns - pos)
+                if n == bs:
+                    placements.append((ti, bi))
+                    plane_rows.append(self._preemph_plane(
+                        [c[pos : pos + bs] for c in chans], bs))
+                bi += 1
+                pos += n
+
+        caches: List[Dict[int, dict]] = [dict() for _ in tracks]
+        if placements:
+            rows = np.concatenate(plane_rows, axis=0)  # [n_blocks*nch, bs]
+            pending = []
+            for start in range(0, rows.shape[0], _CHUNK):
+                chunk = rows[start : start + _CHUNK]
+                pad = _CHUNK - chunk.shape[0] if chunk.shape[0] < _CHUNK else 0
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad, bs), np.int32)])
+                x = jnp.asarray(chunk)
+                if self._device is not None:
+                    x = jax.device_put(x, self._device)
+                pending.append((fit(x), chunk.shape[0] - pad))
+            flat: List[dict] = []
+            for out, valid in pending:
+                fetched = jax.tree.map(np.asarray, out)
+                flat.extend(_row_view(fetched, r) for r in range(valid))
+            for k, (ti, bi) in enumerate(placements):
+                caches[ti][bi] = _merge_rows(flat[k * nch : (k + 1) * nch])
+
+        for ti, (chans, ns) in enumerate(zip(tracks, num_samples)):
+            enc = DeviceExactEncoder(self.config, self._device)
+            enc.set_encode_parameter(p)
+            enc._fit_cache = caches[ti]
+            enc._block_index = -1
+            outs.append(enc.encode_whole(chans, ns))
+        return outs
 
 
 def _row_view(out: dict, r: int) -> dict:

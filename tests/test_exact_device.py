@@ -158,6 +158,35 @@ def test_device_encoder_byte_identical():
     assert got == ref
 
 
+def test_device_encoder_encode_many_matches_whole():
+    """Corpus fits pooled across tracks must emit the same bytes as
+    per-track encode_whole (and therefore the host oracle)."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=0,
+        ch_process_method=1, num_samples_per_block=N)
+    lens = [N * 2 + 501, N, N + 99]
+    tracks = []
+    for i, ns in enumerate(lens):
+        sig2 = _signal(1, ns, seed=100 + i, nch=2)
+        tracks.append([sig2[0], sig2[1]])
+
+    old_chunk = de._CHUNK
+    de._CHUNK = 4
+    try:
+        enc = de.DeviceExactEncoder()
+        enc.set_encode_parameter(param)
+        many = enc.encode_many(tracks, lens)
+        for i, ns in enumerate(lens):
+            solo = de.DeviceExactEncoder()
+            solo.set_encode_parameter(param)
+            assert many[i] == solo.encode_whole(tracks[i], ns), f"track {i}"
+    finally:
+        de._CHUNK = old_chunk
+
+
 def test_device_encoder_rejects_unsupported_modes():
     from linne_tpu.codec.params import EncodeParameter
     from linne_tpu.exact.device_encoder import DeviceExactEncoder
