@@ -328,10 +328,34 @@ def _exact_device_rows(rate: int, spb: int) -> dict:
             got2 = d2.encode_whole([signal[0], signal[1]], n)
             best = min(best, time.perf_counter() - t0)
             identical = identical and got2 == ref
+        # corpus regime: pooled fits across tracks (encode_many) — where
+        # the RPC floor amortizes and the fit lanes are nearly free
+        ntracks, tblocks = 8, 4
+        tlen = tblocks * spb
+        tracks = [[signal[0, i * tlen : (i + 1) * tlen],
+                   signal[1, i * tlen : (i + 1) * tlen]]
+                  for i in range(ntracks)]
+        denc = de.DeviceExactEncoder()
+        denc.set_encode_parameter(param)
+        outs = denc.encode_many(tracks, [tlen] * ntracks)  # warm
+        for i in range(ntracks):
+            oh = ExactEncoder()
+            oh.set_encode_parameter(param)
+            identical = identical and outs[i] == oh.encode_whole(
+                tracks[i], tlen)
+        cbest = float("inf")
+        for _ in range(3):
+            d3 = de.DeviceExactEncoder()
+            d3.set_encode_parameter(param)
+            t0 = time.perf_counter()
+            d3.encode_many(tracks, [tlen] * ntracks)
+            cbest = min(cbest, time.perf_counter() - t0)
     finally:
         de._CHUNK = old_chunk
     return {
         "exact_device_encode_mode0_realtime_x": round((n / rate) / best, 1),
+        "exact_device_corpus_realtime_x": round(
+            (ntracks * tlen / rate) / cbest, 1),
         "exact_device_byte_identical": bool(identical),
         "exact_host_encode_mode0_realtime_x": round(host_x, 1),
     }
