@@ -135,14 +135,10 @@ class DeviceExactEncoder(ExactEncoder):
             if self._device is not None:
                 x = jax.device_put(x, self._device)
             pending.append((fit(x), chunk.shape[0] - pad))
-        outs = [(jax.tree.map(np.asarray, out), valid)
-                for out, valid in pending]
+        fetched = _fetch_valid_rows(pending)
 
         # re-split per block
-        flat: List[dict] = []
-        for out, valid in outs:
-            for r in range(valid):
-                flat.append(_row_view(out, r))
+        flat = [_row_view(fetched, r) for r in range(len(full) * nch)]
         for row, (bi, _pos) in enumerate(full):
             self._fit_cache[bi] = _merge_rows(
                 flat[row * nch : (row + 1) * nch])
@@ -252,10 +248,8 @@ class DeviceExactEncoder(ExactEncoder):
                 if self._device is not None:
                     x = jax.device_put(x, self._device)
                 pending.append((fit(x), chunk.shape[0] - pad))
-            flat: List[dict] = []
-            for out, valid in pending:
-                fetched = jax.tree.map(np.asarray, out)
-                flat.extend(_row_view(fetched, r) for r in range(valid))
+            fetched = _fetch_valid_rows(pending)
+            flat = [_row_view(fetched, r) for r in range(rows.shape[0])]
             for k, (ti, bi) in enumerate(placements):
                 caches[ti][bi] = _merge_rows(flat[k * nch : (k + 1) * nch])
 
@@ -266,6 +260,25 @@ class DeviceExactEncoder(ExactEncoder):
             enc._block_index = -1
             outs.append(enc.encode_whole(chans, ns))
         return outs
+
+
+def _fetch_valid_rows(pending) -> dict:
+    """Concatenate the valid rows of every dispatched chunk ON DEVICE, then
+    fetch once: the tunnel charges ~one RPC per pulled buffer, so pulling 8
+    leaves total instead of 8 x n_chunks dominates the steady-state encode
+    wall time (measured: 2.27 s -> 0.93 s came from flattening the arena;
+    this removes the remaining per-chunk multiplier)."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(pending) == 1:
+        out, valid = pending[0]
+        sliced = jax.tree.map(lambda a: a[:valid], out)
+        return jax.tree.map(np.asarray, sliced)
+    trees = [jax.tree.map(lambda a: a[:valid], out)
+             for out, valid in pending]
+    joined = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *trees)
+    return jax.tree.map(np.asarray, joined)
 
 
 def _row_view(out: dict, r: int) -> dict:
