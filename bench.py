@@ -314,7 +314,7 @@ def _exact_device_rows(rate: int, spb: int) -> dict:
     host_x = (n / rate) / (time.perf_counter() - t0)
 
     old_chunk = de._CHUNK
-    de._CHUNK = 16  # matches the compile-cached [16, 10240] fit shape
+    de._CHUNK = 64  # one dispatch for the 32-block stereo track
     try:
         dev = de.DeviceExactEncoder()
         dev.set_encode_parameter(param)
