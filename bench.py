@@ -217,10 +217,10 @@ def _decode_scaling_rows(signal, rate: int, spb: int) -> dict:
                                        2)
 
     tdec = TpuDecoder()
-    tdec.decode_many([data, data])  # warm every group-shape compile
     for copies in (2, 8, 32):
         rows = copies * nblocks * 2
         msamples = copies * 2 * n / 1e6
+        tdec.decode_many([data] * copies)  # warm this row-count's compiles
         best = float("inf")
         for _ in range(3):
             # _synthesize_pooled mutates the parsed residual planes in
