@@ -431,9 +431,15 @@ def main():
 
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
-    out_path = out_dir / (
-        "exact_host_comparison.csv" if getattr(args, "exact_rows", False)
-        else "codec_comparison_summary.csv")
+    if getattr(args, "exact_rows", False):
+        out_name = "exact_host_comparison.csv"
+    elif getattr(args, "learning_rows", False):
+        # keep the canonical 3-mode summary intact; learning/AF parity
+        # rows are a separate committed artifact
+        out_name = "learning_rows_comparison.csv"
+    else:
+        out_name = "codec_comparison_summary.csv"
+    out_path = out_dir / out_name
     with open(out_path, "w", newline="") as f:
         w = csv.writer(f)
         genres = sorted({g for c in rows.values() for g in c})
