@@ -221,14 +221,12 @@ def _decode_scaling_rows(signal, rate: int, spb: int) -> dict:
         rows = copies * nblocks * 2
         msamples = copies * 2 * n / 1e6
         tdec.decode_many([data] * copies)  # warm this row-count's compiles
+        parsed = [tdec._parse_stream(data) for _ in range(copies)]
+        streams = [(si,) + p for si, p in enumerate(parsed)]
         best = float("inf")
         for _ in range(3):
-            # _synthesize_pooled mutates the parsed residual planes in
-            # place, so re-parse outside the timed region
-            parsed = [tdec._parse_stream(data) for _ in range(copies)]
-            streams = [(si,) + p for si, p in enumerate(parsed)]
             t0 = time.perf_counter()
-            tdec._synthesize_pooled(streams)
+            tdec._synthesize_pooled_rows(streams)
             best = min(best, time.perf_counter() - t0)
         out[f"decode_pooled_rows_{rows}_msamples_s"] = round(
             msamples / best, 1)

@@ -143,13 +143,28 @@ class TpuDecoder:
     # -- device synthesis stage ----------------------------------------------
 
     def _synthesize_pooled(self, streams) -> dict:
+        """Pooled synthesis materialized per block: {(si, block_idx):
+        planes [nch, n]} of reconstructed (pre-de-emphasis) planes (the
+        no-compiler assemble path; production uses _synthesize_pooled_rows
+        + native.finish_rows to keep the host stage off the GIL)."""
+        planes = {}
+        for n, host_R, members in self._synthesize_pooled_rows(streams):
+            nch = streams[0][1].num_channels
+            for pos, (si, i) in enumerate(members):
+                planes[(si, i)] = np.ascontiguousarray(
+                    host_R[pos * nch : (pos + 1) * nch, :n])
+        return planes
+
+    def _synthesize_pooled_rows(self, streams) -> list:
         """Run the reversed layer cascade for every compress block of every
         stream in `streams` = [(si, header, orders, blocks)], with all rows
         pooled into shared device launches. All streams must share the same
-        preset (orders) and channel count. Returns {(si, block_idx):
-        planes [nch, n]} of reconstructed (pre-de-emphasis) planes."""
+        preset (orders) and channel count. Returns one entry per block
+        length: (n, host_R [rows, >=n], members [(si, block_idx)]), where
+        block (si, i) at position pos owns the nch consecutive rows
+        starting at pos * nch."""
         if not streams:
-            return {}
+            return []
         orders = streams[0][2]
         nch = streams[0][1].num_channels
         bps = streams[0][1].bits_per_sample
@@ -161,7 +176,8 @@ class TpuDecoder:
                 if kind == "compress":
                     compress.append((si, i, b))
         by_key = {(si, i): b for si, i, b in compress}
-        planes = {(si, i): b[0] for si, i, b in compress}  # [nch, n], mutated
+        planes = {(si, i): b[0] for si, i, b in compress}  # residual [nch, n]
+        out_groups = []
         by_len = {}
         for si, i, _b in compress:
             by_len.setdefault(planes[(si, i)].shape[1], []).append((si, i))
@@ -248,11 +264,40 @@ class TpuDecoder:
                 rows32 = np.asarray(R[jnp.asarray(idx)])
                 for k, row in enumerate(wide):
                     host_R[row, :n] = rows32[k]
-            for (si, i, ch), row in rowmap.items():
-                planes[(si, i)][ch] = host_R[row, :n]
-        return planes
+            out_groups.append((n, host_R, members_n))
+        return out_groups
 
     # -- host finishing stage ------------------------------------------------
+
+    @staticmethod
+    def _assemble_rows(header, blocks, groups, si) -> List[np.ndarray]:
+        """Native finishing: ONE GIL-released linne_finish_rows call per
+        (stream, block-length group) scatters the synthesized rows into the
+        output planes and runs de-emphasis + MS inverse. This keeps the
+        pooled decode's host stage at a handful of Python ops per stream —
+        per-(block, channel) round trips each pay a GIL scheduler wait when
+        a companion workload loads the core (the decode-under-load regime,
+        docs/PROFILE_r4.md)."""
+        nch = header.num_channels
+        out = np.zeros((nch, header.num_samples), dtype=np.int32)
+        ms = header.ch_process_method == CH_PROCESS_MS
+        for idx, (start, n, kind, b) in enumerate(blocks):
+            if kind == "raw":
+                for ch in range(nch):
+                    out[ch, start : start + n] = b[ch]
+        for n, host_R, members in groups:
+            mine = [(pos, i) for pos, (s, i) in enumerate(members)
+                    if s == si]
+            if not mine:
+                continue
+            row0 = np.asarray([pos * nch for pos, _ in mine], np.int32)
+            starts = np.asarray([blocks[i][0] for _, i in mine], np.int64)
+            pprev = np.ascontiguousarray(
+                np.stack([blocks[i][3][4] for _, i in mine]), dtype=np.int32)
+            pcoef = np.ascontiguousarray(
+                np.stack([blocks[i][3][5] for _, i in mine]), dtype=np.int32)
+            native.finish_rows(host_R, row0, starts, n, pprev, pcoef, out, ms)
+        return [out[ch] for ch in range(nch)]
 
     @staticmethod
     def _assemble(header, blocks, planes, si) -> List[np.ndarray]:
@@ -318,10 +363,17 @@ class TpuDecoder:
         results: List[Optional[List[np.ndarray]]] = [None] * len(datas)
         for sis in classes.values():
             streams = [(si,) + parsed[si] for si in sis]
-            planes = self._synthesize_pooled(streams)
-            for si in sis:
-                header, _orders, blocks = parsed[si]
-                results[si] = self._assemble(header, blocks, planes, si)
+            if native.available():
+                groups = self._synthesize_pooled_rows(streams)
+                for si in sis:
+                    header, _orders, blocks = parsed[si]
+                    results[si] = self._assemble_rows(
+                        header, blocks, groups, si)
+            else:
+                planes = self._synthesize_pooled(streams)
+                for si in sis:
+                    header, _orders, blocks = parsed[si]
+                    results[si] = self._assemble(header, blocks, planes, si)
         self.header = parsed[-1][0] if parsed else None
         return results
 

@@ -133,6 +133,13 @@ def _load():
             _i32p, ctypes.c_int32, _i32p, _i32p, ctypes.c_int32,
         ]
 
+        lib.linne_finish_rows.restype = None
+        lib.linne_finish_rows.argtypes = [
+            _i32p, ctypes.c_int64, _i32p, _i64p, ctypes.c_int32,
+            _i32p, _i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, _i32p, ctypes.c_int64,
+        ]
+
         lib.linne_decode_stream.restype = ctypes.c_int32
         lib.linne_decode_stream.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int64,
@@ -360,6 +367,18 @@ def deemphasis(data: np.ndarray, prevs: np.ndarray, coefs: np.ndarray) -> None:
     lib().linne_deemphasis(
         data, data.shape[0], np.ascontiguousarray(prevs, np.int32),
         np.ascontiguousarray(coefs, np.int32), prevs.shape[0])
+
+
+def finish_rows(rows: np.ndarray, row0: np.ndarray, starts: np.ndarray,
+                n: int, pprev: np.ndarray, pcoef: np.ndarray,
+                out: np.ndarray, ms: bool) -> None:
+    """Finish one stream's pooled-decoded blocks in one call: scatter the
+    synthesized rows [nb*nch, rowlen] into out [nch, total] at starts and
+    run de-emphasis + MS inverse per block (pprev/pcoef: [nb, nch, nstages])."""
+    lib().linne_finish_rows(
+        rows, rows.shape[-1], row0, starts, n, pprev, pcoef,
+        row0.shape[0], out.shape[0], pprev.shape[-1], 1 if ms else 0,
+        out, out.shape[-1])
 
 
 def synthesize_block(

@@ -1092,6 +1092,33 @@ void linne_deemphasis(int32_t* data, int32_t n, const int32_t* prevs,
     }
 }
 
+// Pooled-decoder finishing: scatter the synthesized rows of one stream's
+// blocks (nch consecutive rows per block in the device download matrix)
+// into the stream's output planes, then de-emphasis + MS inverse per block
+// — ONE GIL-released call per (stream, block-length group). The pooled
+// device decode path's host stage must stay off the Python interpreter to
+// survive core contention (codec/tpu_decoder.py): per-(block, channel)
+// round trips each pay a GIL scheduler wait when another thread loads the
+// core.
+void linne_finish_rows(const int32_t* rows, int64_t rowlen,
+                       const int32_t* row0, const int64_t* starts, int32_t n,
+                       const int32_t* pprev, const int32_t* pcoef,
+                       int32_t nb, int32_t nch, int32_t nstages, int32_t ms,
+                       int32_t* out, int64_t ch_stride) {
+    for (int b = 0; b < nb; b++) {
+        int32_t* dst = out + starts[b];
+        for (int c = 0; c < nch; c++) {
+            std::memcpy(dst + c * ch_stride,
+                        rows + (static_cast<int64_t>(row0[b]) + c) * rowlen,
+                        static_cast<size_t>(n) * sizeof(int32_t));
+        }
+        deemph_ms_block(dst, ch_stride,
+                        pprev + static_cast<int64_t>(b) * nch * nstages,
+                        pcoef + static_cast<int64_t>(b) * nch * nstages,
+                        nch, n, nstages, ms);
+    }
+}
+
 // ------------------------------------------------------- stream decoding
 
 // Whole-stream decode: block scan + per-block (CRC, entropy decode,

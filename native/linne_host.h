@@ -83,6 +83,17 @@ LINNE_HOST_API void linne_synthesize_block(
 LINNE_HOST_API void linne_deemphasis(int32_t* data, int32_t n, const int32_t* prevs,
                       const int32_t* coefs, int32_t nstages);
 
+/* Pooled-decoder finishing for one stream: for each of nb blocks, copy its
+ * nch consecutive synthesized rows (row0[b] .. row0[b]+nch-1, each rowlen
+ * int32 wide, first n valid) from the device download matrix into
+ * out[ch][starts[b] : +n], then run the fused de-emphasis + MS inverse in
+ * place. pprev/pcoef are [nb][nch][nstages]; out is [nch][ch_stride]. */
+LINNE_HOST_API void linne_finish_rows(
+    const int32_t* rows, int64_t rowlen, const int32_t* row0,
+    const int64_t* starts, int32_t n, const int32_t* pprev,
+    const int32_t* pcoef, int32_t nb, int32_t nch, int32_t nstages,
+    int32_t ms, int32_t* out, int64_t ch_stride);
+
 /* Whole-stream decode: scan all block frames of a .lnn body (bytes after
  * the 30-byte global header), verify sync/CRC, entropy-decode and
  * synthesize every block, threaded over independent blocks (num_threads
