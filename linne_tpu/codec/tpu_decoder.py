@@ -65,8 +65,15 @@ def _group_step(u: int, ns: int, npu: int, nmembers: int):
 
 
 class TpuDecoder:
-    def __init__(self, config: Optional[DecoderConfig] = None):
+    def __init__(self, config: Optional[DecoderConfig] = None, mesh=None):
+        """`mesh`: an optional jax.sharding.Mesh. When given, the pooled
+        reconstruction rows are sharded over the mesh's first axis (pure
+        data parallelism — rows are independent through every layer's
+        synthesis scan, so each chip owns its shard of the corpus; the
+        gather/scatter between layer groups is row-aligned and stays
+        shard-local for uniform corpora)."""
         self.config = config or DecoderConfig()
+        self.mesh = mesh
 
     # -- host entropy stage --------------------------------------------------
 
@@ -196,7 +203,17 @@ class TpuDecoder:
             wide_up = np.nonzero(
                 (stacked.max(axis=1) > 32767)
                 | (stacked.min(axis=1) < -32768))[0]
-            R = jnp.asarray(stacked.astype(np.int16)).astype(jnp.int32)
+            up16 = stacked.astype(np.int16)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                ndev = int(np.prod(self.mesh.devices.shape))
+                pad = (-up16.shape[0]) % ndev
+                if pad:
+                    up16 = np.concatenate(
+                        [up16, np.zeros((pad, up16.shape[1]), np.int16)])
+                up16 = jax.device_put(up16, NamedSharding(
+                    self.mesh, PartitionSpec(self.mesh.axis_names[0], None)))
+            R = jnp.asarray(up16).astype(jnp.int32)
             if wide_up.size:
                 # pow-2 padding bounds per-size executable specializations
                 m = 1 << (int(wide_up.size) - 1).bit_length()

@@ -104,3 +104,30 @@ def test_encode_many_mesh_byte_identical():
     for data, track in zip(sharded, tracks):
         ch = Decoder().decode_whole(data)
         assert all(np.array_equal(ch[c], track[c]) for c in range(2))
+
+
+def test_decode_many_mesh_byte_identical():
+    """Pooled corpus decode with reconstruction rows sharded over the mesh
+    must reproduce the single-device result exactly (rows are independent
+    through every layer's synthesis scan — pure DP over the corpus)."""
+    from linne_tpu.codec.decoder import Decoder
+    from linne_tpu.codec.tpu_decoder import TpuDecoder
+
+    spb = 2560
+    ns = spb * 3 + 501  # tail block -> a second pooled length group
+    sig = WAVEFORMS["sine"](ns, 2, 16)
+    enc = _encoder(spb)
+    data = enc.encode_whole([sig[0], sig[1]], ns)
+    datas = [data] * 5  # 5 streams: padding rows exercised (rows % 8 != 0)
+
+    plain = TpuDecoder().decode_many(datas)
+    mesh = make_block_mesh(jax.devices()[:8])
+    sharded = TpuDecoder(mesh=mesh).decode_many(datas)
+    for a, b in zip(plain, sharded):
+        for ch in range(2):
+            assert np.array_equal(a[ch], b[ch])
+    # and both are lossless against the source
+    ref = Decoder().decode_whole(data)
+    for ch in range(2):
+        assert np.array_equal(plain[0][ch], ref[ch])
+        assert np.array_equal(ref[ch], sig[ch])
