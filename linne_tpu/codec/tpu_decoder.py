@@ -49,6 +49,18 @@ def _download_width(bps: int) -> int:
     return min(bps + 2, 30)
 
 
+@functools.partial(jax.jit, static_argnames="W")
+def _pack_download(R, W):
+    """Fuse the slim-download pack (overflow flags + W-bit plane) into one
+    dispatch: flags ride column 0 of the packed int32 tensor."""
+    from ..ops.bitpack import pack_plane_words
+
+    lim = 1 << (W - 1)
+    flags = jnp.any((R >= lim) | (R < -lim), axis=-1)
+    return jnp.concatenate(
+        [flags.astype(jnp.int32)[:, None], pack_plane_words(R, W)], axis=-1)
+
+
 @functools.lru_cache(maxsize=64)
 def _group_step(u: int, ns: int, npu: int, nmembers: int):
     """One jitted gather -> batched synthesis -> scatter for a uniform
@@ -258,15 +270,10 @@ class TpuDecoder:
                              jnp.asarray(np.concatenate(crows, axis=0)),
                              jnp.asarray(np.concatenate(rsrows, axis=0)))
             # ONE slim download: W-bit packed plane + per-row overflow flag
-            from ..ops.bitpack import pack_geometry, pack_plane_words
+            from ..ops.bitpack import pack_geometry
             from .encoder import TpuEncoder
 
-            lim = 1 << (W - 1)
-            flags = jnp.any((R >= lim) | (R < -lim), axis=-1)
-            packed = jnp.concatenate(
-                [flags.astype(jnp.int32)[:, None], pack_plane_words(R, W)],
-                axis=-1)
-            host = np.asarray(packed)
+            host = np.asarray(_pack_download(R, W=W))
             g, _wpg = pack_geometry(W)
             width = ((n + g - 1) // g) * g
             if native.available():

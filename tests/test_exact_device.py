@@ -215,3 +215,37 @@ def test_device_encoder_rejects_unsupported_modes():
         enc.set_encode_parameter(EncodeParameter(
             num_channels=2, bits_per_sample=16, sampling_rate=44100,
             preset=0, ch_process_method=1, num_afmethod_iterations=2))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("preset_idx", [1, 2, 5])
+def test_device_encoder_byte_identical_deep_presets(preset_idx):
+    """Whole-file byte identity for deeper presets in the nightly lane:
+    preset 1 (two ridge terms -> best-term refit replay), preset 2
+    (order-64 unrolled L-D ceiling) and preset 5 (order-128 scan L-D,
+    the family-B shape). Fit-level bit identity for all 8 presets is
+    asserted by test_fit_bitexact_vs_oracle_all_presets; this closes the
+    loop through the arena fold, block-type decision and the bitstream."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    nsamp = N * 2 + 333  # 2 full blocks + host-fallback tail
+    sig2 = _signal(1, nsamp, seed=77 + preset_idx, nch=2)
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        preset=preset_idx, ch_process_method=1, num_samples_per_block=N)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    ref = host.encode_whole([sig2[0], sig2[1]], nsamp)
+
+    old_chunk = de._CHUNK
+    de._CHUNK = 4
+    try:
+        dev = de.DeviceExactEncoder()
+        dev.set_encode_parameter(param)
+        got = dev.encode_whole([sig2[0], sig2[1]], nsamp)
+    finally:
+        de._CHUNK = old_chunk
+    assert got == ref
