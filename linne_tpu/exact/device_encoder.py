@@ -51,9 +51,25 @@ _CHUNK = int(os.environ.get("LINNE_EXACT_DEVICE_CHUNK", "128"))
 class DeviceExactEncoder(ExactEncoder):
     """ExactEncoder with the per-block network fitting batched on device."""
 
-    def __init__(self, config: EncoderConfig | None = None, device=None):
+    def __init__(self, config: EncoderConfig | None = None, device=None,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — fit chunks are sharded over
+        its first axis (pure data parallelism: fit rows are independent, so
+        the emitted bytes are identical to the single-device encode; the
+        chunk size must divide evenly over the mesh)."""
         super().__init__(config)
+        if device is not None and mesh is not None:
+            raise ValueError("device and mesh are mutually exclusive")
         self._device = device
+        self._mesh = mesh
+        if mesh is not None:
+            import numpy as _np
+
+            ndev = int(_np.prod(mesh.devices.shape))
+            if _CHUNK % ndev:
+                raise ValueError(
+                    f"LINNE_EXACT_DEVICE_CHUNK={_CHUNK} not divisible by "
+                    f"the {ndev}-device mesh")
         self._fit_cache: Dict[int, dict] = {}
         self._block_index = -1
 
@@ -91,9 +107,6 @@ class DeviceExactEncoder(ExactEncoder):
         Fits are arena-independent, so this runs before any block-type
         decision; blocks later deemed RAW/SILENT simply discard their entry.
         """
-        import jax
-        import jax.numpy as jnp
-
         p = self.parameter
         bs = p.num_samples_per_block
         if not _dev.supported(self.preset.layer_num_params, bs):
@@ -121,9 +134,30 @@ class DeviceExactEncoder(ExactEncoder):
                 [c[pos : pos + bs] for c in channels], bs)
 
         rows = planes.reshape(len(full) * nch, bs)
-        # dispatch every chunk before fetching any result: jax dispatch is
-        # async, so the device pipelines the batches while the host isn't
-        # blocked on round trips between them
+        fetched = _fetch_valid_rows(self._dispatch_fit_chunks(rows, fit, bs))
+
+        # re-split per block
+        flat = [_row_view(fetched, r) for r in range(len(full) * nch)]
+        for row, (bi, _pos) in enumerate(full):
+            self._fit_cache[bi] = _merge_rows(
+                flat[row * nch : (row + 1) * nch])
+
+    def _dispatch_fit_chunks(self, rows: np.ndarray, fit, bs: int) -> list:
+        """Dispatch [rows, bs] fit inputs in _CHUNK-row batches, every chunk
+        launched before any result is fetched (jax dispatch is async, so the
+        device pipelines the batches while the host isn't blocked on round
+        trips between them). With a mesh, each chunk's rows shard over the
+        mesh's first axis — fit rows are independent, so the shards compute
+        exactly the per-row math of the single-device dispatch."""
+        import jax
+        import jax.numpy as jnp
+
+        sharding = None
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(
+                self._mesh, PartitionSpec(self._mesh.axis_names[0], None))
         pending = []
         for start in range(0, rows.shape[0], _CHUNK):
             chunk = rows[start : start + _CHUNK]
@@ -131,17 +165,14 @@ class DeviceExactEncoder(ExactEncoder):
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, bs), np.int32)])
-            x = jnp.asarray(chunk)
-            if self._device is not None:
-                x = jax.device_put(x, self._device)
+            if sharding is not None:
+                x = jax.device_put(chunk, sharding)
+            else:
+                x = jnp.asarray(chunk)
+                if self._device is not None:
+                    x = jax.device_put(x, self._device)
             pending.append((fit(x), chunk.shape[0] - pad))
-        fetched = _fetch_valid_rows(pending)
-
-        # re-split per block
-        flat = [_row_view(fetched, r) for r in range(len(full) * nch)]
-        for row, (bi, _pos) in enumerate(full):
-            self._fit_cache[bi] = _merge_rows(
-                flat[row * nch : (row + 1) * nch])
+        return pending
 
     # -- per-block hook ------------------------------------------------------
 
@@ -201,16 +232,13 @@ class DeviceExactEncoder(ExactEncoder):
         (reference semantics: one encoder state per file)."""
         if self.parameter is None:
             raise RuntimeError("set_encode_parameter not called")
-        import jax
-        import jax.numpy as jnp
-
         p = self.parameter
         bs = p.num_samples_per_block
         nch = p.num_channels
         outs: List[bytes] = []
         if not _dev.supported(self.preset.layer_num_params, bs):
             for chans, ns in zip(tracks, num_samples):
-                enc = DeviceExactEncoder(self.config, self._device)
+                enc = DeviceExactEncoder(self.config, self._device, self._mesh)
                 enc.set_encode_parameter(p)
                 outs.append(enc.encode_whole(chans, ns))
             return outs
@@ -237,24 +265,14 @@ class DeviceExactEncoder(ExactEncoder):
         caches: List[Dict[int, dict]] = [dict() for _ in tracks]
         if placements:
             rows = np.concatenate(plane_rows, axis=0)  # [n_blocks*nch, bs]
-            pending = []
-            for start in range(0, rows.shape[0], _CHUNK):
-                chunk = rows[start : start + _CHUNK]
-                pad = _CHUNK - chunk.shape[0] if chunk.shape[0] < _CHUNK else 0
-                if pad:
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((pad, bs), np.int32)])
-                x = jnp.asarray(chunk)
-                if self._device is not None:
-                    x = jax.device_put(x, self._device)
-                pending.append((fit(x), chunk.shape[0] - pad))
-            fetched = _fetch_valid_rows(pending)
+            fetched = _fetch_valid_rows(
+                self._dispatch_fit_chunks(rows, fit, bs))
             flat = [_row_view(fetched, r) for r in range(rows.shape[0])]
             for k, (ti, bi) in enumerate(placements):
                 caches[ti][bi] = _merge_rows(flat[k * nch : (k + 1) * nch])
 
         for ti, (chans, ns) in enumerate(zip(tracks, num_samples)):
-            enc = DeviceExactEncoder(self.config, self._device)
+            enc = DeviceExactEncoder(self.config, self._device, self._mesh)
             enc.set_encode_parameter(p)
             enc._fit_cache = caches[ti]
             enc._block_index = -1

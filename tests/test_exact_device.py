@@ -249,3 +249,39 @@ def test_device_encoder_byte_identical_deep_presets(preset_idx):
     finally:
         de._CHUNK = old_chunk
     assert got == ref
+
+
+def test_device_encoder_mesh_sharded_byte_identical():
+    """Fit chunks sharded over the 8-device CPU mesh must emit exactly the
+    bytes of the single-device (and host-oracle) encode — fit rows are
+    independent, so the mesh split is pure data parallelism."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+    from linne_tpu.parallel.mesh import make_block_mesh
+
+    nsamp = N * 3 + 777  # 3 full blocks (6 fit rows) + host-fallback tail
+    sig2 = _signal(1, nsamp, seed=53, nch=2)
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=0,
+        ch_process_method=1, num_samples_per_block=N)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    ref = host.encode_whole([sig2[0], sig2[1]], nsamp)
+
+    mesh = make_block_mesh(jax.devices()[:8])
+    old_chunk = de._CHUNK
+    de._CHUNK = 8  # one row per device
+    try:
+        dev = de.DeviceExactEncoder(mesh=mesh)
+        dev.set_encode_parameter(param)
+        assert dev.encode_whole([sig2[0], sig2[1]], nsamp) == ref
+        # chunk not divisible by the mesh is a clear error, not silent
+        de._CHUNK = 12
+        with pytest.raises(ValueError):
+            de.DeviceExactEncoder(mesh=mesh)
+    finally:
+        de._CHUNK = old_chunk
