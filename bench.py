@@ -209,10 +209,10 @@ def _decode_scaling_rows(signal, rate: int, spb: int) -> dict:
     out = {}
     f = jax.jit(lambda v: v + 1)
     v = jnp.zeros(8, jnp.int32)
-    f(v).block_until_ready()
-    t0 = time.perf_counter()
+    np.asarray(f(v))  # block_until_ready is a no-op through the axon
+    t0 = time.perf_counter()  # tunnel; only a D2H pull fences honestly
     for _ in range(10):
-        f(v).block_until_ready()
+        np.asarray(f(v))
     out["decode_rpc_floor_ms"] = round((time.perf_counter() - t0) / 10 * 1e3,
                                        2)
 
@@ -357,6 +357,93 @@ def _exact_device_rows(rate: int, spb: int) -> dict:
         "exact_device_byte_identical": bool(identical),
         "exact_host_encode_mode0_realtime_x": round(host_x, 1),
     }
+
+
+def _exact_device_m7_rows(rate: int, spb: int) -> dict:
+    """Byte-exact MODE-7 encode on the chip (the north-star conjunction at
+    the headline preset): single track and pooled corpus via
+    DeviceExactEncoder, byte-asserted against the host oracle.
+
+    The preset-7 emulated-f64 graph costs ~15 min to compile cold through
+    the tunnel (persistent-cached across processes, docs/PROFILE_r4.md), so
+    the work runs on a daemon thread with a hard join timeout: a cold-cache
+    driver run loses only this row, never the whole artifact."""
+    import threading
+
+    out = {}
+
+    def work():
+        from linne_tpu.codec.params import EncodeParameter
+        from linne_tpu.exact import device_encoder as de
+        from linne_tpu.exact.encoder import ExactEncoder
+
+        old_chunk = de._CHUNK
+        de._CHUNK = 64  # the persistently-cached chunk shape
+        try:
+            nblocks = 32
+            n = spb * nblocks
+            signal = make_signal(n, rate)
+            param = EncodeParameter(
+                num_channels=2, bits_per_sample=16, sampling_rate=rate,
+                num_samples_per_block=spb, preset=7, ch_process_method=1)
+            host = ExactEncoder()
+            host.set_encode_parameter(param)
+            t0 = time.perf_counter()
+            ref = host.encode_whole([signal[0], signal[1]], n)
+            host_s = time.perf_counter() - t0
+
+            dev = de.DeviceExactEncoder()
+            dev.set_encode_parameter(param)
+            identical = dev.encode_whole([signal[0], signal[1]], n) == ref
+            best = float("inf")
+            for _ in range(2):
+                d2 = de.DeviceExactEncoder()
+                d2.set_encode_parameter(param)
+                t0 = time.perf_counter()
+                got = d2.encode_whole([signal[0], signal[1]], n)
+                best = min(best, time.perf_counter() - t0)
+                identical = identical and got == ref
+
+            # corpus regime: chunks pipeline back-to-back (encode_many)
+            ntracks, tblocks = 16, 4
+            tlen = tblocks * spb
+            sig = make_signal(tlen * ntracks, rate)
+            tracks = [[sig[0, i * tlen : (i + 1) * tlen],
+                       sig[1, i * tlen : (i + 1) * tlen]]
+                      for i in range(ntracks)]
+            denc = de.DeviceExactEncoder()
+            denc.set_encode_parameter(param)
+            outs = denc.encode_many(tracks, [tlen] * ntracks)  # warm
+            for i in range(ntracks):
+                oh = ExactEncoder()
+                oh.set_encode_parameter(param)
+                identical = identical and outs[i] == oh.encode_whole(
+                    tracks[i], tlen)
+            cbest = float("inf")
+            for _ in range(2):
+                d3 = de.DeviceExactEncoder()
+                d3.set_encode_parameter(param)
+                t0 = time.perf_counter()
+                d3.encode_many(tracks, [tlen] * ntracks)
+                cbest = min(cbest, time.perf_counter() - t0)
+            out.update({
+                "exact_device_encode_mode7_realtime_x": round(
+                    (n / rate) / best, 1),
+                "exact_device_corpus_mode7_realtime_x": round(
+                    (ntracks * tlen / rate) / cbest, 1),
+                "exact_device_mode7_byte_identical": bool(identical),
+                "exact_host_encode_mode7_realtime_x_short": round(
+                    (n / rate) / host_s, 1),
+            })
+        finally:
+            de._CHUNK = old_chunk
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(1500.0)
+    if not out:
+        raise RuntimeError("mode-7 exact-device row timed out (cold compile)")
+    return out
 
 
 def main() -> None:
@@ -557,6 +644,10 @@ def main() -> None:
         extra.update(_exact_device_rows(rate, spb))
     except Exception as e:  # noqa: BLE001
         print(f"# exact-device rows failed: {e!r}", file=sys.stderr)
+    try:
+        extra.update(_exact_device_m7_rows(rate, spb))
+    except Exception as e:  # noqa: BLE001
+        print(f"# exact-device mode-7 rows failed: {e!r}", file=sys.stderr)
 
     msamp = 2 * n / 1e6  # stereo samples in the track
     print(json.dumps({
