@@ -4,7 +4,9 @@ Same flag surface as the reference CLI (reference:
 tools/linne_codec/linne_codec.c:15-33): `-e` encode, `-d` decode,
 `-m 0..7` preset, `-l` learning, `-a N` AF iterations, `-c` disable CRC
 check. Extras: `--exact` forces the bit-exact host encoder (byte-identical
-output to the C encoder), otherwise the batched TPU/JAX path is used.
+output to the C encoder); `--exact-device` keeps byte-identity while running
+the per-block network fitting batched on the accelerator (default flags
+only); otherwise the batched TPU/JAX fast path is used.
 
 Usage:  python -m linne_tpu.cli -e [-m 4] in.wav out.lnn
         python -m linne_tpu.cli -d out.lnn restored.wav
@@ -38,6 +40,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exact", action="store_true",
                    help="Use the bit-exact host encoder (byte-identical "
                         "with the reference C encoder)")
+    p.add_argument("--exact-device", action="store_true",
+                   help="Bit-exact encode with the per-block network "
+                        "fitting batched on the accelerator "
+                        "(DeviceExactEncoder; default flags only: "
+                        "no -l, -a 0)")
     p.add_argument("-V", "--verbose", action="store_true")
     p.add_argument("-v", "--version", action="store_true",
                    help="Show version information")
@@ -65,7 +72,20 @@ def do_encode(args) -> int:
               flush=True)
 
     t0 = time.perf_counter()
-    if use_exact:
+    if args.exact_device:
+        if args.enable_learning or args.auxiliary_function_iteration:
+            print("error: --exact-device supports the default flags only "
+                  "(no -l, -a 0); use --exact for those",
+                  file=sys.stderr)
+            return 1
+        from .exact.device_encoder import DeviceExactEncoder
+
+        enc = DeviceExactEncoder(EncoderConfig())
+        enc.set_encode_parameter(param)
+        data = enc.encode_whole(
+            [samples[c] for c in range(fmt.num_channels)], fmt.num_samples,
+            progress_cb=progress)
+    elif use_exact:
         from .exact.encoder import ExactEncoder
 
         enc = ExactEncoder(EncoderConfig())

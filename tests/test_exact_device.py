@@ -285,3 +285,29 @@ def test_device_encoder_mesh_sharded_byte_identical():
             de.DeviceExactEncoder(mesh=mesh)
     finally:
         de._CHUNK = old_chunk
+
+
+def test_cli_exact_device_flag(tmp_path):
+    """`--exact-device` must emit exactly the bytes of `--exact` (both are
+    byte-identical to the reference C encoder) and reject -l / -a N with a
+    clean error instead of a traceback."""
+    from linne_tpu import cli
+    from linne_tpu.io.wav import write_wav
+
+    nsamp = 10240 + 501  # one full default block + host-fallback tail
+    sig2 = _signal(1, nsamp, seed=91, nch=2)
+    wav_in = str(tmp_path / "in.wav")
+    write_wav(wav_in, sig2.reshape(2, nsamp), 44100, 16)
+
+    a = str(tmp_path / "a.lnn")
+    b = str(tmp_path / "b.lnn")
+    assert cli.main(["-e", "--exact", wav_in, a]) == 0
+    assert cli.main(["-e", "--exact-device", wav_in, b]) == 0
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
+
+    # out-of-scope flags: clean nonzero exit, no output file
+    c = str(tmp_path / "c.lnn")
+    assert cli.main(["-e", "--exact-device", "-l", wav_in, c]) == 1
+    assert cli.main(["-e", "--exact-device", "-a", "2", wav_in, c]) == 1
+    assert not (tmp_path / "c.lnn").exists()
