@@ -48,6 +48,24 @@ import os
 _CHUNK = int(os.environ.get("LINNE_EXACT_DEVICE_CHUNK", "128"))
 
 
+def preemph_plane(parameter, channels: Sequence[np.ndarray],
+                  n: int) -> np.ndarray:
+    """MS + two pre-emphasis stages for one block, on host int32 — the same
+    transform `_encode_compress_payload` applies (linne_encoder.c:624-641),
+    without side-info bookkeeping. Shared by the device-exact and
+    thread-parallel exact prefit passes."""
+    buf = np.stack([c[:n].astype(np.int32) for c in
+                    channels[: parameter.num_channels]])
+    if parameter.ch_process_method == CH_PROCESS_MS:
+        ms_conversion(buf[0], buf[1])
+    for ch in range(parameter.num_channels):
+        for _stage in range(NUM_PREEMPH_FILTERS):
+            prev = int(buf[ch, 0])
+            coef = preemphasis_calculate_coefficient(buf[ch], n)
+            preemphasis(buf[ch], n, prev, coef)
+    return buf
+
+
 class DeviceExactEncoder(ExactEncoder):
     """ExactEncoder with the per-block network fitting batched on device."""
 
@@ -85,20 +103,7 @@ class DeviceExactEncoder(ExactEncoder):
 
     def _preemph_plane(self, channels: Sequence[np.ndarray], n: int
                        ) -> np.ndarray:
-        """MS + two pre-emphasis stages for one block, on host int32 — the
-        same transform `_encode_compress_payload` applies
-        (linne_encoder.c:624-641), without side-info bookkeeping."""
-        p = self.parameter
-        buf = np.stack([c[:n].astype(np.int32) for c in
-                        channels[: p.num_channels]])
-        if p.ch_process_method == CH_PROCESS_MS:
-            ms_conversion(buf[0], buf[1])
-        for ch in range(p.num_channels):
-            for _stage in range(NUM_PREEMPH_FILTERS):
-                prev = int(buf[ch, 0])
-                coef = preemphasis_calculate_coefficient(buf[ch], n)
-                preemphasis(buf[ch], n, prev, coef)
-        return buf
+        return preemph_plane(self.parameter, channels, n)
 
     def _prefit_blocks(self, channels: Sequence[np.ndarray],
                        num_samples: int) -> None:
