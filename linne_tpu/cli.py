@@ -46,9 +46,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "(DeviceExactEncoder; default flags only: "
                         "no -l, -a 0)")
     p.add_argument("--threads", type=int, default=0, metavar="N",
-                   help="With --exact: run the per-block fitting (and -l "
-                        "training) on N host threads, bytes unchanged "
-                        "(ParallelExactEncoder; requires -a 0)")
+                   help="With --exact: run the per-block fitting (-l "
+                        "training and -a refits included) on N host "
+                        "threads, bytes unchanged (ParallelExactEncoder)")
     p.add_argument("-V", "--verbose", action="store_true")
     p.add_argument("-v", "--version", action="store_true",
                    help="Show version information")
@@ -90,11 +90,6 @@ def do_encode(args) -> int:
             [samples[c] for c in range(fmt.num_channels)], fmt.num_samples,
             progress_cb=progress)
     elif use_exact:
-        if args.threads and args.auxiliary_function_iteration:
-            print("error: --threads requires -a 0 (AF scratch lives in the "
-                  "shared analysis arena); drop --threads for -a N",
-                  file=sys.stderr)
-            return 1
         if args.threads:
             from .exact.parallel_encoder import ParallelExactEncoder
 

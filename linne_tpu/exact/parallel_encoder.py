@@ -28,10 +28,15 @@ Why threading preserves byte-identity:
   order therefore reproduces the serial arena for every future read;
 - blocks later decided RAW/SILENT simply discard their prefit entry — the
   serial encoder never ran those fits, so nothing is replayed (their arena
-  writes never happened there either).
+  writes never happened there either);
+- `-a N` AF refits change nothing above: the oracle computes the IRLS
+  normal equations and Cholesky solve in FRESH arrays (exact/lpc.py
+  `_af_matrix_and_vector`/`_cholesky_solve`) yet is byte-identical to the
+  reference C binary across the `-a` cells of the golden matrix — which
+  pins that no stale AF scratch in the C arena (lpc.c:452-509) ever feeds
+  emitted bits; the native helpers keep scratch in locals and touch only
+  the caller's (here: thread-private) arena arrays.
 
-Scope (ValueError otherwise): AF iterations = 0 (the CLI default; IRLS keeps
-scratch in the arena whose cross-fit independence is not established).
 `-l` IS supported — it is the regime where threads matter most. Tail blocks
 and unsupported shapes fall back to the serial in-place path per block,
 preserving arena order exactly like the device-exact encoder.
@@ -50,7 +55,7 @@ from ..constants import (
     TRAINING_LOSS_EPSILON,
     TRAINING_MAX_NUM_ITERATIONS,
 )
-from ..codec.params import EncoderConfig, EncodeParameter
+from ..codec.params import EncoderConfig
 from ..ops import exact_device as _dev
 from .device_encoder import preemph_plane
 from .encoder import ExactEncoder
@@ -67,13 +72,6 @@ class ParallelExactEncoder(ExactEncoder):
         self._fit_cache: Dict[int, list] = {}
         self._block_index = -1
         self._tls = threading.local()
-
-    def set_encode_parameter(self, parameter: EncodeParameter) -> None:
-        if parameter.num_afmethod_iterations != 0:
-            raise ValueError(
-                "ParallelExactEncoder supports num_afmethod_iterations=0 "
-                "only (AF scratch lives in the shared arena)")
-        super().set_encode_parameter(parameter)
 
     # -- threaded prefit -----------------------------------------------------
 
@@ -108,7 +106,8 @@ class ParallelExactEncoder(ExactEncoder):
         net, trainer = self._tls_state()
         data = plane_ch.astype(np.float64) * 2.0 ** (-(p.bits_per_sample - 1))
         net.set_units_and_parameters(
-            data, num_analyze, 0, self.preset.ridge_terms)
+            data, num_analyze, p.num_afmethod_iterations,
+            self.preset.ridge_terms)
         if p.enable_learning:
             trainer.train(net, data, num_analyze,
                           TRAINING_MAX_NUM_ITERATIONS,

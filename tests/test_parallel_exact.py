@@ -32,22 +32,23 @@ def _signal(nsamp, seed, nch=2):
     return np.clip(np.stack(rows), -32768, 32767).astype(np.int32)
 
 
-def _param(preset, learning=False, spb=N):
+def _param(preset, learning=False, spb=N, af_iters=0):
     return EncodeParameter(
         num_channels=2, bits_per_sample=16, sampling_rate=44100,
         preset=preset, ch_process_method=1, num_samples_per_block=spb,
-        enable_learning=learning)
+        enable_learning=learning, num_afmethod_iterations=af_iters)
 
 
-@pytest.mark.parametrize("preset,learning", [
-    (0, False), (0, True), (1, False), (5, True),
+@pytest.mark.parametrize("preset,learning,af_iters", [
+    (0, False, 0), (0, True, 0), (1, False, 0), (5, True, 0),
+    (0, False, 3), (1, True, 2),
 ])
-def test_parallel_exact_byte_identical(preset, learning):
+def test_parallel_exact_byte_identical(preset, learning, af_iters):
     nsamp = N * 3 + 777  # 3 full blocks + host-fallback tail
     sig = _signal(nsamp, seed=7 + preset + (100 if learning else 0))
     sig[:, N : N + 500] = 0  # quiet stretch keeps the type decision honest
 
-    param = _param(preset, learning)
+    param = _param(preset, learning, af_iters=af_iters)
     host = ExactEncoder()
     host.set_encode_parameter(param)
     ref = host.encode_whole([sig[0], sig[1]], nsamp)
@@ -95,9 +96,19 @@ def test_parallel_exact_encode_many_matches_whole():
         assert many[i] == host.encode_whole(tracks[i], ns), f"track {i}"
 
 
-def test_parallel_exact_rejects_af_iterations():
-    enc = ParallelExactEncoder()
-    with pytest.raises(ValueError):
-        enc.set_encode_parameter(EncodeParameter(
-            num_channels=2, bits_per_sample=16, sampling_rate=44100,
-            preset=0, ch_process_method=1, num_afmethod_iterations=1))
+def test_parallel_exact_af_with_learning_encode_many():
+    """-a and -l together through the pooled corpus path: the AF refit
+    changes the fitted params the trainer starts from, so this exercises
+    the full private-state chain (fit + refit + train + replay)."""
+    param = _param(0, learning=True, af_iters=1)
+    lens = [N * 2, N + 321]
+    tracks = [[r for r in _signal(ns, seed=60 + i)]
+              for i, ns in enumerate(lens)]
+
+    enc = ParallelExactEncoder(num_threads=3)
+    enc.set_encode_parameter(param)
+    many = enc.encode_many(tracks, lens)
+    for i, ns in enumerate(lens):
+        host = ExactEncoder()
+        host.set_encode_parameter(param)
+        assert many[i] == host.encode_whole(tracks[i], ns), f"track {i}"
