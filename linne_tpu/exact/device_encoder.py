@@ -181,38 +181,32 @@ class DeviceExactEncoder(ExactEncoder):
 
     # -- per-block hook ------------------------------------------------------
 
-    def _encode_compress_payload(self, channels: Sequence[np.ndarray],
-                                 n: int) -> bytes:
+    def _fit_quantize_channel(self, buf, ch: int, n: int, num_analyze: int
+                              ) -> Tuple[List[int], List[int],
+                                         List[np.ndarray]]:
         cached = self._fit_cache.get(self._block_index)
         if cached is None:
-            return super()._encode_compress_payload(channels, n)
+            return super()._fit_quantize_channel(buf, ch, n, num_analyze)
 
-        # Install the device fit results into the network layers, replay the
-        # arena writes, then let the shared serialization path run with the
-        # fitting stage bypassed.
+        # Replay the device fit's arena writes so the next block-type
+        # decision reads identical state, then return the device-quantized
+        # side info directly — units, error-feedback int coefficients and
+        # rshifts all come from the batched fit (bit-equality with the host
+        # quantizer pinned per preset by tests/test_exact_device.py).
         offsets = np.concatenate(
             [[0], np.cumsum(self.preset.layer_num_params)])
-        net = self.network
-        orig = net.set_units_and_parameters
-        state = {"ch": 0}
-
-        def installed_fit(data, nn, iters, terms):
-            ch = state["ch"]
-            for li, layer in enumerate(net.layers):
-                layer.num_units = int(cached["units"][ch][li])
-                layer.params[: layer.num_params] = (
-                    cached["params"][ch][offsets[li] : offsets[li + 1]])
-            _dev.fold_parcor_state(
-                net.lpcc.parcor_coef, cached["per_ch"][ch], 1,
-                self.preset.layer_num_params, self.preset.ridge_terms,
-                self.parameter.num_samples_per_block)
-            state["ch"] += 1
-
-        net.set_units_and_parameters = installed_fit
-        try:
-            return super()._encode_compress_payload(channels, n)
-        finally:
-            net.set_units_and_parameters = orig
+        _dev.fold_parcor_state(
+            self.network.lpcc.parcor_coef, cached["per_ch"][ch], 1,
+            self.preset.layer_num_params, self.preset.ridge_terms,
+            self.parameter.num_samples_per_block)
+        row = cached["per_ch"][ch]
+        units_row = [int(u) for u in cached["units"][ch]]
+        rshift_row = [int(r) for r in row["rshifts"]]
+        coef_row = [
+            np.ascontiguousarray(
+                row["int_coefs"][offsets[li] : offsets[li + 1]], np.int32)
+            for li in range(len(self.preset.layer_num_params))]
+        return units_row, rshift_row, coef_row
 
     def encode_block(self, channels: Sequence[np.ndarray], n: int) -> bytes:
         self._block_index += 1

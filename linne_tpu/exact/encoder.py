@@ -15,7 +15,7 @@ correctness reference and golden generator for it.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -110,6 +110,41 @@ class ExactEncoder:
 
     # -- compress payload --------------------------------------------------
 
+    def _fit_quantize_channel(self, buf: np.ndarray, ch: int, n: int,
+                              num_analyze: int
+                              ) -> Tuple[List[int], List[int],
+                                         List[np.ndarray]]:
+        """Fit (+ optional training) and 8-bit-quantize one channel of a
+        compress block (linne_encoder.c:657-684). Overridable hook: the
+        device-exact and thread-parallel encoders substitute prefit results
+        here (replaying the fit's arena writes) without touching the rest
+        of the serialization path."""
+        p = self.parameter
+        scale = 2.0 ** (-(p.bits_per_sample - 1))
+        self.buffer_double[:num_analyze] = (
+            buf[ch, :num_analyze].astype(np.float64) * scale)
+        self.network.set_units_and_parameters(
+            self.buffer_double, num_analyze,
+            p.num_afmethod_iterations, self.preset.ridge_terms)
+        if p.enable_learning:
+            self.trainer.train(
+                self.network, self.buffer_double, num_analyze,
+                TRAINING_MAX_NUM_ITERATIONS, TRAINING_LEARNING_RATE,
+                TRAINING_LOSS_EPSILON)
+        units_row = [layer.num_units for layer in self.network.layers]
+        rshift_row, coef_row = self._quantize_layers()
+        return units_row, rshift_row, coef_row
+
+    def _quantize_layers(self) -> Tuple[List[int], List[np.ndarray]]:
+        rshift_row: List[int] = []
+        coef_row: List[np.ndarray] = []
+        for layer in self.network.layers:
+            int_coef, rshift = quantize_coefficients(
+                layer.params, layer.num_params, LPC_COEF_BITWIDTH)
+            rshift_row.append(rshift)
+            coef_row.append(int_coef)
+        return rshift_row, coef_row
+
     def _encode_compress_payload(self, channels: Sequence[np.ndarray],
                                  n: int) -> bytes:
         p = self.parameter
@@ -140,29 +175,12 @@ class ExactEncoder:
         num_analyze = _roundup(n, 1 << LOG2_NUM_UNITS_BITWIDTH)
         num_analyze = min(p.num_samples_per_block, max(max_params, num_analyze))
 
-        scale = 2.0 ** (-(p.bits_per_sample - 1))
         all_units: List[List[int]] = []
         all_rshifts: List[List[int]] = []
         all_coefs: List[List[np.ndarray]] = []
         for ch in range(nch):
-            self.buffer_double[:num_analyze] = (
-                buf[ch, :num_analyze].astype(np.float64) * scale)
-            self.network.set_units_and_parameters(
-                self.buffer_double, num_analyze,
-                p.num_afmethod_iterations, preset.ridge_terms)
-            if p.enable_learning:
-                self.trainer.train(
-                    self.network, self.buffer_double, num_analyze,
-                    TRAINING_MAX_NUM_ITERATIONS, TRAINING_LEARNING_RATE,
-                    TRAINING_LOSS_EPSILON)
-            units_row = [layer.num_units for layer in self.network.layers]
-            rshift_row = []
-            coef_row = []
-            for layer in self.network.layers:
-                int_coef, rshift = quantize_coefficients(
-                    layer.params, layer.num_params, LPC_COEF_BITWIDTH)
-                rshift_row.append(rshift)
-                coef_row.append(int_coef)
+            units_row, rshift_row, coef_row = self._fit_quantize_channel(
+                buf, ch, n, num_analyze)
             all_units.append(units_row)
             all_rshifts.append(rshift_row)
             all_coefs.append(coef_row)

@@ -13,6 +13,7 @@ from typing import Tuple
 
 import numpy as np
 
+from .. import native as _native
 from ..constants import PREEMPH_COEF_SHIFT
 
 
@@ -31,7 +32,11 @@ def lr_conversion(ch0: np.ndarray, ch1: np.ndarray) -> None:
 def preemphasis_calculate_coefficient(buffer: np.ndarray, n: int) -> int:
     """4-bit fixed-point pre-emphasis coefficient from the lag-1
     autocorrelation (reference: linne_utility.c:158-193). Serial float64
-    accumulation order preserved via cumsum."""
+    accumulation order preserved via cumsum; the native helper fuses both
+    correlation chains into one pass over the int32 samples (bit-identical,
+    pinned by tests/test_exact_native_helpers.py)."""
+    if _native.available():
+        return _native.preemph_coef(buffer, n)
     d = buffer[:n].astype(np.float64)
     curr = d[:-1]
     succ = d[1:]

@@ -165,38 +165,24 @@ class ParallelExactEncoder(ExactEncoder):
 
     # -- per-block hook -------------------------------------------------------
 
-    def _encode_compress_payload(self, channels: Sequence[np.ndarray],
-                                 n: int) -> bytes:
+    def _fit_quantize_channel(self, buf, ch, n, num_analyze):
         cached = self._fit_cache.get(self._block_index)
         if cached is None:
-            return super()._encode_compress_payload(channels, n)
+            return super()._fit_quantize_channel(buf, ch, n, num_analyze)
 
-        net = self.network
-        orig_fit = net.set_units_and_parameters
-        orig_train = self.trainer.train
+        # Install the pooled job's post-train fit, replay its arena writes
+        # (module docstring: every fit rewrites parcor[0:max_order] in full,
+        # so the copy IS the serial post-fit state for every future read),
+        # then quantize on the shared path. The serial fit and trainer are
+        # bypassed — the cached params already include both.
+        units, params, parcor = cached[ch]
+        for li, layer in enumerate(self.network.layers):
+            layer.num_units = units[li]
+            layer.params[: layer.num_params] = params[li]
         max_order = max(self.preset.layer_num_params)
-        state = {"ch": 0}
-
-        def installed_fit(data, nn, iters, terms):
-            units, params, parcor = cached[state["ch"]]
-            for li, layer in enumerate(net.layers):
-                layer.num_units = units[li]
-                layer.params[: layer.num_params] = params[li]
-            # replay the fit's arena writes (module docstring): every fit
-            # rewrites parcor[0:max_order] in full, so the copy IS the
-            # serial post-fit state for every future read
-            net.lpcc.parcor_coef[:max_order] = parcor
-            state["ch"] += 1
-
-        net.set_units_and_parameters = installed_fit
-        if self.parameter.enable_learning:
-            # cached params are post-train; the serial trainer must not run
-            self.trainer.train = lambda *a, **k: None
-        try:
-            return super()._encode_compress_payload(channels, n)
-        finally:
-            net.set_units_and_parameters = orig_fit
-            self.trainer.train = orig_train
+        self.network.lpcc.parcor_coef[:max_order] = parcor
+        rshift_row, coef_row = self._quantize_layers()
+        return list(units), rshift_row, coef_row
 
     def encode_block(self, channels: Sequence[np.ndarray], n: int) -> bytes:
         self._block_index += 1

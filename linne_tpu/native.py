@@ -166,6 +166,9 @@ def _load():
             _f64p, ctypes.c_int64, ctypes.c_int32, _f64p,
         ]
 
+        lib.linne_preemph_coef.restype = ctypes.c_int32
+        lib.linne_preemph_coef.argtypes = [_i32p, ctypes.c_int64]
+
         lib.linne_exact_unit_predict.restype = None
         lib.linne_exact_unit_predict.argtypes = [
             _f64p, ctypes.c_int64, _f64p, ctypes.c_int32, ctypes.c_int32,
@@ -421,6 +424,13 @@ def exact_autocorr(x: np.ndarray, nlags: int) -> np.ndarray:
     lib().linne_exact_autocorr(
         np.ascontiguousarray(x, np.float64), x.shape[0], nlags, out)
     return out
+
+
+def preemph_coef(x: np.ndarray, n: int) -> int:
+    """4-bit pre-emphasis coefficient, one fused serial-order pass
+    (bit-identical to exact/filters.py:preemphasis_calculate_coefficient)."""
+    return int(lib().linne_preemph_coef(
+        np.ascontiguousarray(x[:n], np.int32), n))
 
 
 def exact_unit_predict(

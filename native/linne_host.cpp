@@ -2376,7 +2376,11 @@ int32_t linne_exact_rice_search(const int32_t* data, int64_t n,
     return best_porder;
 }
 
-// Encoder-side integer predict cascade for host use (tests/tools).
+// Encoder-side integer predict stage. Unlike decode synthesis this is a
+// pure FIR (reads only `data`, linne_lpc_predict.c:7-38), so the time axis
+// vectorizes directly: lane l carries sample t+l, every op is wrapping
+// int32 (mullo/add/sra match the scalar's -fwrapv arithmetic exactly, so
+// the SIMD path is bit-equal by construction).
 void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
                          const int32_t* coef, int32_t order, int32_t rshift,
                          int32_t num_units) {
@@ -2390,12 +2394,63 @@ void linne_predict_layer(const int32_t* data, int32_t* residual, int32_t n,
         const int32_t* in = data + u * ns;
         int32_t* out = residual + u * ns;
         const int32_t* c = coef + u * npu;
-        for (int t = 0; t < ns - npu; t++) {
+        const int nres = ns - npu;
+        int t = 0;
+#if defined(__AVX512F__)
+        {
+            const __m512i vhalf = _mm512_set1_epi32(half);
+            const __m128i vsh = _mm_cvtsi32_si128(rshift);
+            for (; t + 16 <= nres; t += 16) {
+                __m512i pred = vhalf;
+                for (int j = 0; j < npu; j++) {
+                    pred = _mm512_add_epi32(
+                        pred, _mm512_mullo_epi32(
+                                  _mm512_set1_epi32(c[j]),
+                                  _mm512_loadu_si512(
+                                      (const void*)(in + t + j))));
+                }
+                __m512i cur = _mm512_loadu_si512((const void*)(out + t + npu));
+                _mm512_storeu_si512(
+                    (void*)(out + t + npu),
+                    _mm512_add_epi32(cur, _mm512_sra_epi32(pred, vsh)));
+            }
+        }
+#endif
+        for (; t < nres; t++) {
             int32_t pred = half;
             for (int j = 0; j < npu; j++) pred += c[j] * in[t + j];
             out[t + npu] += pred >> rshift;
         }
     }
+}
+
+// 4-bit pre-emphasis coefficient from the lag-0/lag-1 autocorrelation of
+// int32 samples, one fused pass (oracle:
+// exact/filters.py:preemphasis_calculate_coefficient; reference:
+// linne_utility.c:158-193). Each corr is its own serial f64 chain with
+// per-term rounded multiplies — same sequence as the oracle's
+// mul-then-cumsum (the two chains are independent, so they interleave
+// without reordering either). Starting at 0.0 is bit-neutral: corr0's
+// terms are squares (never -0.0 first) and an all-zero corr1 only occurs
+// when corr0 == 0.0, which short-circuits to coef = 0.
+LINNE_EXACT_FP
+int32_t linne_preemph_coef(const int32_t* x, int64_t n) {
+    if (n <= 1) return 0;
+    double c0 = 0.0, c1 = 0.0;
+    for (int64_t i = 0; i + 1 < n; i++) {
+        const double d = (double)x[i];
+        c0 += d * d;
+        c1 += d * (double)x[i + 1];
+    }
+    if (c0 < 1e-6) return 0;
+    const double r = c1 / c0;
+    if (r < 0.0) return 0;
+    const double scaled = r * 32.0;  // pow(2.0f, 5)
+    const double rounded = std::floor(scaled + 0.5);  // r >= 0 here
+    // clamp before the int cast: the ratio can exceed int32 range (growing
+    // signals), where the oracle's arbitrary-precision int still clamps
+    if (rounded >= 16.0) return 15;  // (1 << (PREEMPH_COEF_SHIFT - 1)) - 1
+    return (int32_t)rounded;
 }
 
 }  // extern "C"

@@ -45,6 +45,44 @@ def test_exact_autocorr_bit_identical():
         assert np.array_equal(got, want), (n, nlags)
 
 
+def test_preemph_coef_bit_identical():
+    """The fused native lag-0/lag-1 pass must reproduce the oracle's
+    mul-then-cumsum coefficient exactly, including the corr0 < 1e-6 and
+    negative-ratio short circuits and the >= 16 clamp (growing signals can
+    push the scaled ratio past int32 range — the clamp must fire first)."""
+    from linne_tpu.exact import filters as F
+
+    def oracle(buf, n):
+        d = buf[:n].astype(np.float64)
+        curr, succ = d[:-1], d[1:]
+        corr0 = float(np.cumsum(curr * curr)[-1]) if n > 1 else 0.0
+        corr1 = float(np.cumsum(curr * succ)[-1]) if n > 1 else 0.0
+        if corr0 < 1e-6:
+            return 0
+        r = corr1 / corr0
+        if r < 0.0:
+            return 0
+        coef = int(F._c_round(r * 32.0))
+        if coef >= 16:
+            coef = 15
+        return coef
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(-(2 ** 15), 2 ** 15, 10240),
+        rng.integers(-(2 ** 23), 2 ** 23, 4096),
+        np.zeros(128, np.int64),                 # corr0 == 0 short circuit
+        np.array([5], np.int64),                 # n == 1
+        np.array([1, 2 ** 30], np.int64),        # huge ratio -> clamp
+        np.array([3, -3, 3, -3, 3], np.int64),   # negative ratio
+        np.cumsum(rng.integers(0, 50, 512)),     # strongly correlated
+    ]
+    for buf in cases:
+        buf = buf.astype(np.int32)
+        n = buf.shape[0]
+        assert native.preemph_coef(buf, n) == oracle(buf, n), n
+
+
 def test_exact_unit_predict_bit_identical():
     rng = np.random.default_rng(5)
     for n, num_units, npu in [(10240, 1, 128), (10240, 4, 32),
