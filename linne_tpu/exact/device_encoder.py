@@ -261,22 +261,66 @@ class DeviceExactEncoder(ExactEncoder):
                 bi += 1
                 pos += n
 
-        caches: List[Dict[int, dict]] = [dict() for _ in tracks]
+        row_of_block: List[List[Tuple[int, int]]] = [[] for _ in tracks]
+        for k, (ti, bi) in enumerate(placements):
+            row_of_block[ti].append((bi, k * nch))
+
+        get_row = None
         if placements:
             rows = np.concatenate(plane_rows, axis=0)  # [n_blocks*nch, bs]
-            fetched = _fetch_valid_rows(
+            get_row = self._overlapped_row_fetch(
                 self._dispatch_fit_chunks(rows, fit, bs))
-            flat = [_row_view(fetched, r) for r in range(rows.shape[0])]
-            for k, (ti, bi) in enumerate(placements):
-                caches[ti][bi] = _merge_rows(flat[k * nch : (k + 1) * nch])
 
         for ti, (chans, ns) in enumerate(zip(tracks, num_samples)):
             enc = DeviceExactEncoder(self.config, self._device, self._mesh)
             enc.set_encode_parameter(p)
-            enc._fit_cache = caches[ti]
+            if get_row is not None:
+                enc._fit_cache = {
+                    bi: _merge_rows([get_row(r + c) for c in range(nch)])
+                    for bi, r in row_of_block[ti]}
             enc._block_index = -1
             outs.append(enc.encode_whole(chans, ns))
         return outs
+
+    @staticmethod
+    def _overlapped_row_fetch(pending):
+        """Fetch dispatched chunks on a worker thread while the caller runs
+        the serial host strands (block-type decisions, integer predict,
+        entropy packing) for tracks whose fits already landed. The tunnel
+        D2H and the host packing are different resources, and every native
+        host call releases the GIL, so the pulls hide behind the encode of
+        earlier tracks instead of serializing in front of the whole corpus.
+        Returns get_row(r) -> row dict, blocking only until row r's chunk
+        is in."""
+        import threading
+
+        import jax
+
+        results: List[dict] = [None] * len(pending)
+        done = [threading.Event() for _ in pending]
+        err: List[BaseException] = []
+
+        def _pull():
+            try:
+                for ci, (out, valid) in enumerate(pending):
+                    sliced = jax.tree.map(lambda a: a[:valid], out)
+                    results[ci] = jax.tree.map(np.asarray, sliced)
+                    done[ci].set()
+            except BaseException as e:  # surfaced on the caller's next wait
+                err.append(e)
+                for ev in done:
+                    ev.set()
+
+        threading.Thread(target=_pull, daemon=True).start()
+
+        def get_row(r: int) -> dict:
+            ci, off = divmod(r, _CHUNK)
+            done[ci].wait()
+            if err:
+                raise err[0]
+            return _row_view(results[ci], off)
+
+        return get_row
 
 
 def _fetch_valid_rows(pending) -> dict:
