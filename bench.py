@@ -370,15 +370,15 @@ def _exact_device_m7_rows(rate: int, spb: int) -> dict:
     driver run loses only this row, never the whole artifact."""
     import threading
 
+    from linne_tpu.exact import device_encoder as de
+
     out = {}
+    failure = []  # worker exception, re-raised distinctly from a timeout
 
     def work():
         from linne_tpu.codec.params import EncodeParameter
-        from linne_tpu.exact import device_encoder as de
         from linne_tpu.exact.encoder import ExactEncoder
 
-        old_chunk = de._CHUNK
-        de._CHUNK = 64  # the persistently-cached chunk shape
         try:
             nblocks = 32
             n = spb * nblocks
@@ -435,12 +435,22 @@ def _exact_device_m7_rows(rate: int, spb: int) -> dict:
                 "exact_host_encode_mode7_realtime_x_short": round(
                     (n / rate) / host_s, 1),
             })
-        finally:
-            de._CHUNK = old_chunk
+        except BaseException as e:  # noqa: BLE001 — reported by the main thread
+            failure.append(e)
 
-    th = threading.Thread(target=work, daemon=True)
-    th.start()
-    th.join(1500.0)
+    # Save/restore the chunk shape on the MAIN thread: a timed-out worker
+    # must not leave the global mutated for the bench rows that follow.
+    old_chunk = de._CHUNK
+    de._CHUNK = 64  # the persistently-cached chunk shape
+    try:
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(1500.0)
+    finally:
+        de._CHUNK = old_chunk
+    if failure:
+        raise RuntimeError(
+            f"mode-7 exact-device row failed: {failure[0]!r}") from failure[0]
     if not out:
         raise RuntimeError("mode-7 exact-device row timed out (cold compile)")
     return out

@@ -5,8 +5,9 @@ tools/linne_codec/linne_codec.c:15-33): `-e` encode, `-d` decode,
 `-m 0..7` preset, `-l` learning, `-a N` AF iterations, `-c` disable CRC
 check. Extras: `--exact` forces the bit-exact host encoder (byte-identical
 output to the C encoder); `--exact-device` keeps byte-identity while running
-the per-block network fitting batched on the accelerator (default flags
-only); otherwise the batched TPU/JAX fast path is used.
+the per-block network fitting batched on the accelerator (`-a` refits and
+`-l` training run host-side around the device fit); otherwise the batched
+TPU/JAX fast path is used.
 
 Usage:  python -m linne_tpu.cli -e [-m 4] in.wav out.lnn
         python -m linne_tpu.cli -d out.lnn restored.wav
@@ -43,9 +44,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exact-device", action="store_true",
                    help="Bit-exact encode with the per-block network "
                         "fitting batched on the accelerator "
-                        "(DeviceExactEncoder; default flags only: "
-                        "no -l, -a 0)")
-    p.add_argument("--threads", type=int, default=0, metavar="N",
+                        "(DeviceExactEncoder; -a refits and -l training "
+                        "run host-side around the device fit)")
+    p.add_argument("--threads", type=int, default=None, metavar="N",
                    help="With --exact: run the per-block fitting (-l "
                         "training and -a refits included) on N host "
                         "threads, bytes unchanged (ParallelExactEncoder)")
@@ -70,6 +71,16 @@ def do_encode(args) -> int:
         num_afmethod_iterations=args.auxiliary_function_iteration,
     )
     use_exact = args.exact
+    if args.threads is not None:
+        if not args.exact:
+            print("error: --threads requires --exact (the TPU and "
+                  "--exact-device paths manage their own parallelism)",
+                  file=sys.stderr)
+            return 1
+        if args.threads < 1:
+            print(f"error: --threads must be >= 1 (got {args.threads})",
+                  file=sys.stderr)
+            return 1
 
     def progress(done, total):  # per-block/batch progress like the C CLI
         print(f"progress... {100.0 * done / total:.2f}% \r", end="",
@@ -77,11 +88,6 @@ def do_encode(args) -> int:
 
     t0 = time.perf_counter()
     if args.exact_device:
-        if args.enable_learning or args.auxiliary_function_iteration:
-            print("error: --exact-device supports the default flags only "
-                  "(no -l, -a 0); use --exact for those",
-                  file=sys.stderr)
-            return 1
         from .exact.device_encoder import DeviceExactEncoder
 
         enc = DeviceExactEncoder(EncoderConfig())

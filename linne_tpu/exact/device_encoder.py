@@ -20,9 +20,17 @@ strands remain, and both stay on the host:
   decision sees identical state;
 - the bitstream itself (entropy coding, framing) is serial by format.
 
-Scope (ValueError otherwise): AF iterations = 0 (the CLI default) and no
-`-l` training. Tail blocks and any shape `exact_device.supported` rejects
-fall back to the host oracle fit for that block, preserving arena order.
+`-a N` runs as a staged hybrid: the ridge sweep, the final pass's unit
+searches and the layer forwards run on the device; the N-iteration IRLS
+refit (lpc.c:578-661) runs on the host, because its Cholesky's libm
+`pow(s, -0.5)` is not correctly rounded on glibc and therefore cannot be
+reproduced by any accelerator arithmetic (see the ops/exact_device block
+comment). `-l` training runs host-side (native) per block in
+`_fit_quantize_channel`, seeded with the device-prefit params — the
+trainer's 2000-iteration momentum loop is inherently serial and never
+touches the analysis arena. Tail blocks and any shape
+`exact_device.supported` rejects fall back to the host oracle fit for that
+block, preserving arena order.
 
 On XLA:CPU the pipeline is bit-identical to the oracle by construction
 (FMA-shielded serial-order ops — see exact_device docstring). On TPU f64 is
@@ -46,6 +54,20 @@ import os
 
 # Batch fits in fixed-size buckets so jit caching sees few shapes.
 _CHUNK = int(os.environ.get("LINNE_EXACT_DEVICE_CHUNK", "128"))
+
+# Hardware byte-identity guard bounds (docs/PROFILE_r4.md finding 3: TPU
+# emulated-f64 drift measured <= 1.6e-11 relative; XLA:CPU is bit-exact and
+# never comes near these). A fit row whose decision margins fall below the
+# bounds is re-fit on the host oracle instead — so `--exact-device` output
+# equals the oracle's as long as instantaneous drift stays under the bound,
+# ~100x the observed maximum, rather than only probabilistically.
+#   REL: relative margins (zero-signal epsilon tests, unit-level and
+#        ridge-term argmin gaps, frexp/low rshift boundaries).
+#   ABS: absolute distance of an error-feedback quantizer step to its
+#        round-half-away boundary, in quantized-coefficient LSBs (param
+#        drift enters scaled by 2^rshift <= 2^14, so the bound is wider).
+_MARGIN_REL = float(os.environ.get("LINNE_EXACT_DEVICE_MARGIN_REL", "1e-9"))
+_MARGIN_ABS = float(os.environ.get("LINNE_EXACT_DEVICE_MARGIN_ABS", "1e-6"))
 
 
 def preemph_plane(parameter, channels: Sequence[np.ndarray],
@@ -89,14 +111,19 @@ class DeviceExactEncoder(ExactEncoder):
                     f"LINNE_EXACT_DEVICE_CHUNK={_CHUNK} not divisible by "
                     f"the {ndev}-device mesh")
         self._fit_cache: Dict[int, dict] = {}
+        self._cache_preinstalled = False  # set (one-shot) by encode_many
         self._block_index = -1
+        # hardware byte-identity guard state (see _MARGIN_* above):
+        # rows refused for low margins fall back to the host oracle; the
+        # block-type decision margin is checked in _estimate_mean_ratio
+        self.guard_rows_total = 0
+        self.guard_rows_flagged = 0
+        self.guard_decisions_flagged = 0
+        self._arena_device_dirty = False
+        self._prev_fit_input = None  # (plane copy, num_analyze) of the
+        #                              last device-cached compress block
 
     def set_encode_parameter(self, parameter: EncodeParameter) -> None:
-        if parameter.num_afmethod_iterations != 0:
-            raise ValueError(
-                "DeviceExactEncoder supports num_afmethod_iterations=0 only")
-        if parameter.enable_learning:
-            raise ValueError("DeviceExactEncoder does not support -l training")
         super().set_encode_parameter(parameter)
 
     # -- batched prepass ----------------------------------------------------
@@ -143,9 +170,137 @@ class DeviceExactEncoder(ExactEncoder):
 
         # re-split per block
         flat = [_row_view(fetched, r) for r in range(len(full) * nch)]
+        if p.num_afmethod_iterations > 0:
+            finals = self._final_pass_rows(rows, fetched)
+            for r in range(len(flat)):
+                flat[r]["final"] = finals[r]
+        flat = [self._apply_guard(r) for r in flat]
         for row, (bi, _pos) in enumerate(full):
             self._fit_cache[bi] = _merge_rows(
                 flat[row * nch : (row + 1) * nch])
+
+    def _row_flagged(self, row: dict) -> bool:
+        """True when a fit row's guard margins sit too close to a decision
+        boundary for emulated-f64 drift to be provably harmless. With -a N
+        the sweep's quantizer margins are superseded by the host-quantize
+        margins collected in `_final_pass_rows` (plus the final-pass search
+        margins)."""
+        m = np.asarray(row["margins"], np.float64)
+        final = row.get("final")
+        if final is None:
+            return bool(m[0] < _MARGIN_REL or m[1] < _MARGIN_REL
+                        or m[2] < _MARGIN_ABS)
+        fm = np.asarray(final["margins"], np.float64)
+        return bool(m[0] < _MARGIN_REL or fm[0] < _MARGIN_REL
+                    or fm[1] < _MARGIN_REL or fm[2] < _MARGIN_ABS)
+
+    def _apply_guard(self, row: dict | None) -> dict | None:
+        """Count and drop (-> host-oracle fallback) low-margin fit rows."""
+        if row is None:
+            return None
+        self.guard_rows_total += 1
+        if self._row_flagged(row):
+            self.guard_rows_flagged += 1
+            return None
+        return row
+
+    def _put(self, arr: np.ndarray):
+        """Place one array on the encoder's device / mesh (rows sharded over
+        the mesh's first axis, like the fit chunks)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = PartitionSpec(
+                self._mesh.axis_names[0], *([None] * (arr.ndim - 1)))
+            return jax.device_put(arr, NamedSharding(self._mesh, spec))
+        x = jnp.asarray(arr)
+        if self._device is not None:
+            x = jax.device_put(x, self._device)
+        return x
+
+    def _final_pass_rows(self, rows: np.ndarray, fetched: dict) -> list:
+        """The -a N final refit pass (linne_network.c:628-629) over the
+        sweep's fit rows: per layer, the unit-count search and the forward
+        run on the device (ops/exact_device final-pass fns), the N-iteration
+        auxiliary-function refit runs on the host — the IRLS Cholesky's
+        libm `pow(s, -0.5)` is not reproducible on an accelerator (see the
+        ops/exact_device block comment), and host-side it IS the oracle.
+
+        Returns one dict per row: {"units" [L], "params" [per-layer f64],
+        "int_coefs" [per-layer i32], "rshifts" [L], "final_arena"
+        [per-layer fold_final_pass entries]}.
+        """
+        from ..constants import LPC_COEF_BITWIDTH as _CB
+        from .lpc import LpcState, WINDOW_WELCH, quantize_coefficients
+
+        p = self.parameter
+        af = p.num_afmethod_iterations
+        bs = p.num_samples_per_block
+        lps = tuple(self.preset.layer_num_params)
+        R = rows.shape[0]
+        terms_all = np.asarray(self.preset.ridge_terms, np.float64)[
+            np.asarray(fetched["best_term"])[:R]]
+        to_f64, searches, forwards = _dev.build_final_pass_fns(
+            lps, bs, p.bits_per_sample)
+        lpcc = LpcState(self.config.max_num_parameters_per_layer,
+                        self.config.max_num_samples_per_block)
+
+        out_rows = [
+            {"units": [], "params": [], "int_coefs": [], "rshifts": [],
+             "final_arena": [],
+             # guard sensors: [search-sel, scale, round] mins over layers
+             "margins": [np.inf, np.inf, np.inf]}
+            for _ in range(R)
+        ]
+        for start in range(0, R, _CHUNK):
+            chunk = rows[start : start + _CHUNK]
+            tchunk = terms_all[start : start + _CHUNK]
+            C = chunk.shape[0]
+            pad = _CHUNK - C
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, bs), np.int32)])
+                tchunk = np.concatenate([tchunk, np.zeros(pad)])
+            buf = to_f64(self._put(chunk))
+            t = self._put(tchunk)
+            for li, P in enumerate(lps):
+                s = searches[li](buf, t)
+                units = np.asarray(s["units"])
+                buf_np = np.asarray(buf)  # one D2H per layer
+                params = np.zeros((chunk.shape[0], P), np.float64)
+                for r in range(C):
+                    u = int(units[r])
+                    npu = P // u
+                    ns = bs // u
+                    for unit in range(u):
+                        coefs = lpcc.calculate_coef_af(
+                            buf_np[r, unit * ns :], ns, npu, af,
+                            WINDOW_WELCH, float(tchunk[r]))
+                        params[r, unit * npu : (unit + 1) * npu] = coefs[::-1]
+                buf = forwards[li](buf, self._put(params), s["best"])
+                parc = np.asarray(s["parcor"])
+                zc = np.asarray(s["zc"])
+                best = np.asarray(s["best"])
+                smargin = np.asarray(s["margin"])
+                for r in range(C):
+                    g = out_rows[start + r]
+                    g["units"].append(int(units[r]))
+                    g["params"].append(params[r])
+                    g["final_arena"].append({
+                        "parcor": parc[r], "zc": zc[r], "best": int(best[r]),
+                    })
+                    ic, rs = quantize_coefficients(params[r], P, _CB)
+                    g["int_coefs"].append(
+                        np.ascontiguousarray(ic[:P], np.int32))
+                    g["rshifts"].append(int(rs))
+                    rm, sm = _dev.quantize_margins_np(params[r], _CB)
+                    g["margins"][0] = min(g["margins"][0], float(smargin[r]))
+                    g["margins"][1] = min(g["margins"][1], sm)
+                    g["margins"][2] = min(g["margins"][2], rm)
+        return out_rows
 
     def _dispatch_fit_chunks(self, rows: np.ndarray, fit, bs: int) -> list:
         """Dispatch [rows, bs] fit inputs in _CHUNK-row batches, every chunk
@@ -179,6 +334,38 @@ class DeviceExactEncoder(ExactEncoder):
             pending.append((fit(x), chunk.shape[0] - pad))
         return pending
 
+    # -- decision-margin guard ------------------------------------------------
+
+    def _estimate_mean_ratio(self, channels: Sequence[np.ndarray],
+                             n: int) -> float:
+        """Block-type estimate with the guard's decision-margin check: the
+        estimate reads ONE stale arena double left by the previous
+        compressed block's fits (lpc.c:846-848) — the only place device
+        f64 drift can reach a decision that is not covered by the fit-row
+        margins. If the RAW threshold comparison sits within the drift
+        bound AND the arena's last writer was a device fit, the previous
+        block's channels are re-fit on the host oracle (full blocks are
+        arena-read-free, so this reproduces the oracle's post-block state
+        exactly) and the estimate is recomputed."""
+        r = super()._estimate_mean_ratio(channels, n)
+        from .encoder import _RAW_THRESHOLD
+
+        if (self._arena_device_dirty and self._prev_fit_input is not None
+                and abs(r - _RAW_THRESHOLD) / _RAW_THRESHOLD < _MARGIN_REL):
+            self.guard_decisions_flagged += 1
+            p = self.parameter
+            plane, num_analyze = self._prev_fit_input
+            scale = 2.0 ** (-(p.bits_per_sample - 1))
+            for ch in range(p.num_channels):
+                self.buffer_double[:num_analyze] = (
+                    plane[ch, :num_analyze].astype(np.float64) * scale)
+                self.network.set_units_and_parameters(
+                    self.buffer_double, num_analyze,
+                    p.num_afmethod_iterations, self.preset.ridge_terms)
+            self._arena_device_dirty = False
+            r = super()._estimate_mean_ratio(channels, n)
+        return r
+
     # -- per-block hook ------------------------------------------------------
 
     def _fit_quantize_channel(self, buf, ch: int, n: int, num_analyze: int
@@ -186,26 +373,79 @@ class DeviceExactEncoder(ExactEncoder):
                                          List[np.ndarray]]:
         cached = self._fit_cache.get(self._block_index)
         if cached is None:
+            # host-oracle fit (tail block or unsupported shape): rewrites
+            # the arena exactly
+            self._arena_device_dirty = False
             return super()._fit_quantize_channel(buf, ch, n, num_analyze)
+        if ch == 0:
+            # retained for the decision-margin arena refresh (full blocks
+            # only — their fits are arena-read-free, so re-running them
+            # reproduces the oracle's post-block arena exactly)
+            self._prev_fit_input = (
+                buf[: self.parameter.num_channels, :num_analyze].copy(),
+                num_analyze)
+        if cached["per_ch"][ch] is None:
+            # guard-flagged row: host-oracle fit, arena exact afterwards
+            self._arena_device_dirty = False
+            return super()._fit_quantize_channel(buf, ch, n, num_analyze)
+        self._arena_device_dirty = True
 
         # Replay the device fit's arena writes so the next block-type
-        # decision reads identical state, then return the device-quantized
-        # side info directly — units, error-feedback int coefficients and
-        # rshifts all come from the batched fit (bit-equality with the host
-        # quantizer pinned per preset by tests/test_exact_device.py).
-        offsets = np.concatenate(
-            [[0], np.cumsum(self.preset.layer_num_params)])
-        _dev.fold_parcor_state(
-            self.network.lpcc.parcor_coef, cached["per_ch"][ch], 1,
-            self.preset.layer_num_params, self.preset.ridge_terms,
-            self.parameter.num_samples_per_block)
+        # decision reads identical state, then return the prefit side info
+        # directly — units, error-feedback int coefficients and rshifts all
+        # come from the batched fit (bit-equality with the host quantizer
+        # pinned per preset by tests/test_exact_device.py). With -a N the
+        # final refit pass carries its own arena deposits and host-quantized
+        # coefficients; with -l the (native) trainer then fine-tunes the
+        # prefit params here, in block order, exactly as the oracle does
+        # after set_units_and_parameters (linne_encoder.c:669-676).
+        p = self.parameter
+        lps = self.preset.layer_num_params
+        offsets = np.concatenate([[0], np.cumsum(lps)])
         row = cached["per_ch"][ch]
-        units_row = [int(u) for u in cached["units"][ch]]
-        rshift_row = [int(r) for r in row["rshifts"]]
-        coef_row = [
-            np.ascontiguousarray(
-                row["int_coefs"][offsets[li] : offsets[li + 1]], np.int32)
-            for li in range(len(self.preset.layer_num_params))]
+        final = row.get("final")
+        _dev.fold_parcor_state(
+            self.network.lpcc.parcor_coef, row, 1, lps,
+            self.preset.ridge_terms, p.num_samples_per_block,
+            include_final=final is None)
+        if final is None:
+            units_row = [int(u) for u in cached["units"][ch]]
+            rshift_row = [int(r) for r in row["rshifts"]]
+            coef_row = [
+                np.ascontiguousarray(
+                    row["int_coefs"][offsets[li] : offsets[li + 1]],
+                    np.int32)
+                for li in range(len(lps))]
+            params_layers = [
+                np.asarray(row["params"][offsets[li] : offsets[li + 1]],
+                           np.float64)
+                for li in range(len(lps))]
+        else:
+            _dev.fold_final_pass(
+                self.network.lpcc.parcor_coef, final["final_arena"], lps,
+                p.num_samples_per_block)
+            units_row = list(final["units"])
+            rshift_row = list(final["rshifts"])
+            coef_row = list(final["int_coefs"])
+            params_layers = list(final["params"])
+
+        if p.enable_learning:
+            from ..constants import (TRAINING_LEARNING_RATE,
+                                     TRAINING_LOSS_EPSILON,
+                                     TRAINING_MAX_NUM_ITERATIONS)
+
+            for li, layer in enumerate(self.network.layers):
+                layer.num_units = units_row[li]
+                layer.params[: layer.num_params] = params_layers[li]
+            scale = 2.0 ** (-(p.bits_per_sample - 1))
+            self.buffer_double[:num_analyze] = (
+                buf[ch, :num_analyze].astype(np.float64) * scale)
+            self.trainer.train(
+                self.network, self.buffer_double, num_analyze,
+                TRAINING_MAX_NUM_ITERATIONS, TRAINING_LEARNING_RATE,
+                TRAINING_LOSS_EPSILON)
+            units_row = [layer.num_units for layer in self.network.layers]
+            rshift_row, coef_row = self._quantize_layers()
         return units_row, rshift_row, coef_row
 
     def encode_block(self, channels: Sequence[np.ndarray], n: int) -> bytes:
@@ -216,7 +456,10 @@ class DeviceExactEncoder(ExactEncoder):
                      num_samples: int, progress_cb=None) -> bytes:
         if self.parameter is None:
             raise RuntimeError("set_encode_parameter not called")
-        if not self._fit_cache:  # encode_many pre-installs a cache
+        if self._cache_preinstalled:  # one-shot, set by encode_many
+            self._cache_preinstalled = False
+        else:
+            self._fit_cache = {}
             self._block_index = -1
             self._prefit_blocks(channels, num_samples)
         return super().encode_whole(channels, num_samples, progress_cb)
@@ -268,8 +511,22 @@ class DeviceExactEncoder(ExactEncoder):
         get_row = None
         if placements:
             rows = np.concatenate(plane_rows, axis=0)  # [n_blocks*nch, bs]
-            get_row = self._overlapped_row_fetch(
-                self._dispatch_fit_chunks(rows, fit, bs))
+            pending = self._dispatch_fit_chunks(rows, fit, bs)
+            if p.num_afmethod_iterations > 0:
+                # the final refit pass is a device<->host ping-pong per
+                # layer, so the sweep is fetched up front (no overlap)
+                fetched = _fetch_valid_rows(pending)
+                finals = self._final_pass_rows(rows, fetched)
+
+                def get_row(r: int, _f=fetched, _fin=finals):
+                    d = _row_view(_f, r)
+                    d["final"] = _fin[r]
+                    return self._apply_guard(d)
+            else:
+                _fetch_row = self._overlapped_row_fetch(pending)
+
+                def get_row(r: int, _fr=_fetch_row):
+                    return self._apply_guard(_fr(r))
 
         for ti, (chans, ns) in enumerate(zip(tracks, num_samples)):
             enc = DeviceExactEncoder(self.config, self._device, self._mesh)
@@ -278,6 +535,7 @@ class DeviceExactEncoder(ExactEncoder):
                 enc._fit_cache = {
                     bi: _merge_rows([get_row(r + c) for c in range(nch)])
                     for bi, r in row_of_block[ti]}
+                enc._cache_preinstalled = True
             enc._block_index = -1
             outs.append(enc.encode_whole(chans, ns))
         return outs
@@ -353,13 +611,16 @@ def _row_view(out: dict, r: int) -> dict:
         "arena_parcor": out["arena_parcor"][r : r + 1],
         "arena_zc": out["arena_zc"][r : r + 1],
         "arena_best": out["arena_best"][r : r + 1],
+        "margins": out["margins"][r],
     }
 
 
 def _merge_rows(rows: List[dict]) -> dict:
-    """Bundle one block's per-channel rows for the payload hook."""
+    """Bundle one block's per-channel rows for the payload hook. Entries may
+    be None (guard-flagged rows) — those channels fall back to the host
+    oracle fit in `_fit_quantize_channel`."""
     return {
-        "units": [r["units"] for r in rows],
-        "params": [r["params"] for r in rows],
+        "units": [None if r is None else r["units"] for r in rows],
+        "params": [None if r is None else r["params"] for r in rows],
         "per_ch": rows,
     }

@@ -93,6 +93,21 @@ class ExactEncoder:
                 if np.any(channels[ch][:n]):
                     return BLOCK_TYPE_RAW
             return BLOCK_TYPE_SILENT
+        if self._estimate_mean_ratio(channels, n) >= _RAW_THRESHOLD:
+            return BLOCK_TYPE_RAW
+        for ch in range(p.num_channels):
+            if np.any(channels[ch][:n]):
+                return BLOCK_TYPE_COMPRESS
+        return BLOCK_TYPE_SILENT
+
+    def _estimate_mean_ratio(self, channels: Sequence[np.ndarray],
+                             n: int) -> float:
+        """Estimated mean code length as a fraction of bits_per_sample —
+        the value the RAW-vs-COMPRESS threshold compares
+        (linne_encoder.c:497-516). Overridable: the device-exact encoder
+        wraps it with the hardware byte-identity guard's decision-margin
+        check (the estimate reads one stale arena double)."""
+        p = self.parameter
         scale = 2.0 ** (-(p.bits_per_sample - 1))
         mean_length = 0.0
         for ch in range(p.num_channels):
@@ -101,12 +116,7 @@ class ExactEncoder:
                 self.buffer_double, n, p.bits_per_sample)
         mean_length /= p.num_channels
         mean_length /= p.bits_per_sample
-        if mean_length >= _RAW_THRESHOLD:
-            return BLOCK_TYPE_RAW
-        for ch in range(p.num_channels):
-            if np.any(channels[ch][:n]):
-                return BLOCK_TYPE_COMPRESS
-        return BLOCK_TYPE_SILENT
+        return mean_length
 
     # -- compress payload --------------------------------------------------
 

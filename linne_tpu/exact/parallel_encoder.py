@@ -70,6 +70,7 @@ class ParallelExactEncoder(ExactEncoder):
         super().__init__(config)
         self.num_threads = num_threads or (os.cpu_count() or 1)
         self._fit_cache: Dict[int, list] = {}
+        self._cache_preinstalled = False  # set (one-shot) by encode_many
         self._block_index = -1
         self._tls = threading.local()
 
@@ -192,7 +193,10 @@ class ParallelExactEncoder(ExactEncoder):
                      num_samples: int, progress_cb=None) -> bytes:
         if self.parameter is None:
             raise RuntimeError("set_encode_parameter not called")
-        if not self._fit_cache:  # encode_many pre-installs a cache
+        if self._cache_preinstalled:  # one-shot, set by encode_many
+            self._cache_preinstalled = False
+        else:
+            self._fit_cache = {}
             self._block_index = -1
             self._prefit_blocks(channels, num_samples)
         return super().encode_whole(channels, num_samples, progress_cb)
@@ -230,6 +234,7 @@ class ParallelExactEncoder(ExactEncoder):
             enc = ParallelExactEncoder(self.config, self.num_threads)
             enc.set_encode_parameter(p)
             enc._fit_cache = caches[ti]
+            enc._cache_preinstalled = True
             enc._block_index = -1
             outs.append(enc.encode_whole(chans, ns))
         return outs

@@ -304,7 +304,13 @@ def _frexp_exponent(x: jnp.ndarray) -> jnp.ndarray:
 def _quantize_layer(coefs: jnp.ndarray, nbits: int):
     """Error-feedback quantizer, tail-to-head (lpc.c:981-1040; oracle:
     exact/lpc.py quantize_coefficients). coefs: [B, P] final f64 params.
-    Returns (int_coef [B, P] i32, rshift [B] i32)."""
+    Returns (int_coef [B, P] i32, rshift [B] i32, round_margin [B] f64,
+    scale_margin [B] f64) — the margins are the guard's sensors for this
+    stage: `round_margin` is the minimum absolute distance of any
+    error-feedback step to its round-half-away boundary (in quantized-LSB
+    units), `scale_margin` the relative distance of max|coef| to the
+    nearest frexp power-of-two boundary and to the `low` threshold (both
+    flip the transmitted rshift)."""
     B, P = coefs.shape
     qmax = 1 << (nbits - 1)
     # max |coef| with the reference's `<` update order (NaN-skipping)
@@ -312,16 +318,28 @@ def _quantize_layer(coefs: jnp.ndarray, nbits: int):
     for i in range(P):
         av = jnp.abs(coefs[:, i])
         max_abs = jnp.where(max_abs < av, av, max_abs)
-    low = max_abs <= 2.0 ** (-(nbits - 1))
+    lowthr = 2.0 ** (-(nbits - 1))
+    low = max_abs <= lowthr
 
     ndigit = _frexp_exponent(max_abs)
     rshift = (nbits - 1) - ndigit
     scale = _exp2_int(rshift)
 
+    # rshift boundary sensors: frexp bin edges 2^(ndigit-1) <= m < 2^ndigit
+    # (masked on the low path, where ndigit is unused) and the low threshold
+    fm = jnp.minimum(max_abs - _exp2_int(ndigit - 1),
+                     _exp2_int(ndigit) - max_abs)
+    fm = fm / jnp.maximum(max_abs, 1e-300)
+    lm = jnp.abs(max_abs - lowthr) / lowthr
+    scale_margin = jnp.minimum(jnp.where(low, jnp.inf, fm), lm)
+
+    round_margin = jnp.full((B,), jnp.inf, _F64)
     qerror = jnp.zeros((B,), _F64)
     outs: List = [None] * P
     for ordi in range(P - 1, -1, -1):
         qerror = qerror + _mulsh(coefs[:, ordi], scale)
+        y = jnp.where(qerror >= 0.0, qerror + 0.5, -qerror + 0.5)
+        round_margin = jnp.minimum(round_margin, jnp.abs(y - jnp.round(y)))
         qtmp = jnp.where(
             qerror >= 0.0,
             jnp.floor(qerror + 0.5),
@@ -334,7 +352,10 @@ def _quantize_layer(coefs: jnp.ndarray, nbits: int):
     int_coef = jnp.stack(outs, axis=1)
     int_coef = jnp.where(low[:, None], 0, int_coef)
     rshift = jnp.where(low, nbits, rshift)
-    return int_coef, rshift
+    # on the low path the int coefs are forced to zero regardless of the
+    # rounding chain, so its boundaries are not drift-sensitive there
+    round_margin = jnp.where(low, jnp.inf, round_margin)
+    return int_coef, rshift, round_margin, scale_margin
 
 
 # ---------------------------------------------------------------------------
@@ -342,56 +363,113 @@ def _quantize_layer(coefs: jnp.ndarray, nbits: int):
 # ---------------------------------------------------------------------------
 
 
+def _layer_level_fits(buf: jnp.ndarray, P: int, n: int, regular_term):
+    """Fit every admissible unit level of one layer on `buf`
+    (linne_network.c:284-335). `regular_term` is a scalar (possibly traced,
+    for the vmapped ridge sweep) or a per-row [B] array (the -a N final
+    pass, where each row carries its winning ridge candidate).
+
+    Returns (levels, level_params, level_preds_base, level_preds_nobase,
+    level_parcor, level_zc, zc_margin [B], all_zc [B]) — lists indexed by
+    level. `zc_margin` is the relative distance of every (unit, level)
+    post-ridge r0 to the FLT_EPSILON zero-signal boundary (lpc.c:268) — the
+    hardware byte-identity guard's sensor for this decision; `all_zc` is
+    True where EVERY (unit, level) fit took the zero early-out (such rows'
+    level losses are bit-equal by construction, so their argmin ties are
+    deterministic and must not be flagged).
+    """
+    B = buf.shape[0]
+    levels = _valid_levels(P, n)
+    t = jnp.asarray(regular_term, _F64)
+    level_params = []
+    level_preds_base = []
+    level_preds_nobase = []
+    level_parcor = []
+    level_zc = []
+    zc_margin = jnp.full((B,), jnp.inf, _F64)
+    all_zc = jnp.ones((B,), bool)
+    for u in levels:
+        npu = P // u
+        ns = n // u
+        w = jnp.asarray(_welch_window(ns))  # exact host-f64 constants
+        seg = buf.reshape(B, u, ns) * w
+        ac = _autocorr_serial(seg, npu + 1)
+        # ridge on r0 (lpc.c:358): *= 1.0 + term (exact at term == 0)
+        tfac = 1.0 + t
+        if t.ndim == 1:
+            tfac = tfac[:, None]
+        ac = ac.at[..., 0].multiply(tfac)
+        ac0 = jnp.abs(ac[..., 0])  # [B, U]
+        zm = jnp.abs(ac0 - FLT_EPSILON) / jnp.maximum(ac0, FLT_EPSILON)
+        zc_margin = jnp.minimum(zc_margin, jnp.min(zm, axis=1))
+        coefs, parcor, zc = _levinson_serial(ac, npu)
+        all_zc = all_zc & jnp.all(zc, axis=1)
+        # layer.params layout: per unit, time-reversed taps
+        params = jnp.flip(coefs, axis=2).reshape(B, P)
+        pb, pn = _chain_predict(buf, params.reshape(B, u, npu), u)
+        level_params.append(params)
+        level_preds_base.append(pb)
+        level_preds_nobase.append(pn)
+        level_parcor.append(parcor[:, -1, :])  # last unit's write
+        level_zc.append(zc[:, -1])
+    return (levels, level_params, level_preds_base, level_preds_nobase,
+            level_parcor, level_zc, zc_margin, all_zc)
+
+
+def _first_strict_min(losses: jnp.ndarray):
+    """First strict minimum over the level axis (linne_network.c:336-340).
+    losses: [B, L]. Returns (best [B] i32, gap [B] f64) where gap is the
+    relative distance from the winner to the runner-up — the guard's sensor
+    for this argmin (a drift-flipped comparison changes the transmitted
+    unit count). gap is +inf for a single candidate."""
+    B, L = losses.shape
+    min_loss = jnp.full((B,), FLT_MAX, _F64)
+    best = jnp.zeros((B,), jnp.int32)
+    for li in range(L):
+        take = losses[:, li] < min_loss
+        min_loss = jnp.where(take, losses[:, li], min_loss)
+        best = jnp.where(take, jnp.int32(li), best)
+    gap = jnp.full((B,), jnp.inf, _F64)
+    denom = jnp.maximum(min_loss, 1e-300)
+    for li in range(L):
+        d = (losses[:, li] - min_loss) / denom
+        gap = jnp.where(jnp.int32(li) == best, gap, jnp.minimum(gap, d))
+    return best, gap
+
+
 def _fit_pass(x: jnp.ndarray, layer_num_params: tuple, n: int,
               regular_term: float):
     """One greedy layer-by-layer fit at a fixed ridge term.
 
-    Returns (units [B,L] i32, params [B, sum(P)] f64, loss [B], arena) where
-    arena is a per-layer list of
+    Returns (units [B,L] i32, params [B, sum(P)] f64, loss [B], arena,
+    sel_margin [B], pass_all_zc [B]) where arena is a per-layer list of
     (level_parcor [(B, npu) per level], level_zc [(B,) per level],
-    best_level [B] i32) — the raw material for `fold_parcor_state`.
+    best_level [B] i32) — the raw material for `fold_parcor_state` — and
+    sel_margin is the pass's minimum decision margin (zero-signal epsilon
+    distances and unit-level argmin gaps; the guard's per-pass sensor).
     """
     B = x.shape[0]
     buf = x
     all_units = []
     all_params = []
     arena = []
+    sel_margin = jnp.full((B,), jnp.inf, _F64)
+    pass_all_zc = jnp.ones((B,), bool)
 
     for P in layer_num_params:
-        levels = _valid_levels(P, n)
-        level_params = []
-        level_preds_base = []
-        level_preds_nobase = []
-        level_parcor = []
-        level_zc = []
-        for u in levels:
-            npu = P // u
-            ns = n // u
-            w = jnp.asarray(_welch_window(ns))  # exact host-f64 constants
-            seg = buf.reshape(B, u, ns) * w
-            ac = _autocorr_serial(seg, npu + 1)
-            # ridge on r0 (lpc.c:358): *= 1.0 + term (exact at term == 0)
-            ac = ac.at[..., 0].multiply(1.0 + regular_term)
-            coefs, parcor, zc = _levinson_serial(ac, npu)
-            # layer.params layout: per unit, time-reversed taps
-            params = jnp.flip(coefs, axis=2).reshape(B, P)
-            pb, pn = _chain_predict(buf, params.reshape(B, u, npu), u)
-            level_params.append(params)
-            level_preds_base.append(pb)
-            level_preds_nobase.append(pn)
-            level_parcor.append(parcor[:, -1, :])  # last unit's write
-            level_zc.append(zc[:, -1])
+        (levels, level_params, level_preds_base, level_preds_nobase,
+         level_parcor, level_zc, zc_margin, all_zc) = _layer_level_fits(
+            buf, P, n, regular_term)
 
         preds = jnp.stack(level_preds_base, axis=1)  # [B, L, n]
         losses = _serial_abs_mean(preds, 1, n)  # [B, L]
-
-        # first strict minimum (linne_network.c:336-340)
-        min_loss = jnp.full((B,), FLT_MAX, _F64)
-        best = jnp.zeros((B,), jnp.int32)
-        for li in range(len(levels)):
-            take = losses[:, li] < min_loss
-            min_loss = jnp.where(take, losses[:, li], min_loss)
-            best = jnp.where(take, jnp.int32(li), best)
+        best, gap = _first_strict_min(losses)
+        # all-zero-fit rows' level losses are bit-equal -> tie is
+        # deterministic (first index), not drift-sensitive
+        sel_margin = jnp.minimum(sel_margin, zc_margin)
+        sel_margin = jnp.minimum(
+            sel_margin, jnp.where(all_zc, jnp.inf, gap))
+        pass_all_zc = pass_all_zc & all_zc
 
         params_all = jnp.stack(level_params, axis=1)  # [B, L, P]
         params_sel = jnp.take_along_axis(
@@ -414,6 +492,8 @@ def _fit_pass(x: jnp.ndarray, layer_num_params: tuple, n: int,
         jnp.concatenate(all_params, axis=1),
         loss,
         arena,
+        sel_margin,
+        pass_all_zc,
     )
 
 
@@ -467,13 +547,15 @@ def build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
         # per-lane op-identical here (no cross-lane reductions), so
         # bit-exactness is preserved (pinned by the preset-1 oracle tests).
         vm = jax.vmap(lambda t: _fit_pass(x, tuple(layer_num_params), n, t))
-        units_t, params_t, loss_t, arena_t = vm(
+        units_t, params_t, loss_t, arena_t, selm_t, allzc_t = vm(
             jnp.asarray(ridge_terms, _F64))
         per_term = [
             jax.tree.map(lambda a, i=i: a[i],
                          (units_t, params_t, loss_t, arena_t))
             for i in range(len(ridge_terms))
         ]
+        # guard sensor: min per-pass decision margin across the sweep
+        sel_margin = jnp.min(selm_t, axis=0)
         if len(per_term) == 1:
             units, params, _, _ = per_term[0]
             best_term = jnp.zeros((B,), jnp.int32)
@@ -492,14 +574,29 @@ def build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
                 m = best_term == i
                 units = jnp.where(m[:, None], per_term[i][0], units)
                 params = jnp.where(m[:, None], per_term[i][1], params)
+            # term-argmin gap (all-zero-fit rows' passes are bit-equal ->
+            # their tie is deterministic, like the level argmin)
+            term_gap = jnp.full((B,), jnp.inf, _F64)
+            denom = jnp.maximum(min_loss, 1e-300)
+            for i in range(len(per_term)):
+                d = (loss_t[i] - min_loss) / denom
+                term_gap = jnp.where(
+                    jnp.int32(i) == best_term, term_gap,
+                    jnp.minimum(term_gap, d))
+            term_gap = jnp.where(jnp.all(allzc_t, axis=0), jnp.inf, term_gap)
+            sel_margin = jnp.minimum(sel_margin, term_gap)
 
         int_parts = []
         rshifts = []
+        round_margin = jnp.full((B,), jnp.inf, _F64)
+        scale_margin = jnp.full((B,), jnp.inf, _F64)
         for li in range(len(layer_num_params)):
-            ic, rs = _quantize_layer(
+            ic, rs, rm, sm = _quantize_layer(
                 params[:, offsets[li] : offsets[li + 1]], coef_bits)
             int_parts.append(ic)
             rshifts.append(rs)
+            round_margin = jnp.minimum(round_margin, rm)
+            scale_margin = jnp.minimum(scale_margin, sm)
 
         # flatten the arena in (term, layer, level) order — see docstring
         ap_cols: List = []
@@ -520,9 +617,191 @@ def build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
             "arena_parcor": jnp.concatenate(ap_cols, axis=1),
             "arena_zc": jnp.stack(zc_cols, axis=1),
             "arena_best": jnp.stack(best_cols, axis=1),
+            # hardware byte-identity guard sensors, packed into ONE output
+            # leaf (each leaf costs one D2H RPC through the tunnel):
+            # [:, 0] selection margins (relative: zero-eps, level/term
+            # argmin gaps), [:, 1] rshift-scale margins (relative: frexp
+            # bin edge, low threshold), [:, 2] rounding margins (absolute,
+            # quantized-LSB units)
+            "margins": jnp.stack(
+                [sel_margin, scale_margin, round_margin], axis=1),
         }
 
     return jax.jit(fit)
+
+
+# ---------------------------------------------------------------------------
+# -a N final pass (device search/forward + host AF refit hybrid)
+# ---------------------------------------------------------------------------
+#
+# With num_afmethod_iterations > 0 the reference's final refit pass
+# (linne_network.c:628-629) is NOT a replay of the winning sweep pass: each
+# layer re-runs the unit-count search (AF iterations 0) on the current
+# residual, then refits the chosen split with N auxiliary-function (IRLS)
+# iterations (lpc.c:578-661) before forwarding. The IRLS solve uses libm
+# `pow(s, -0.5)` inside the Cholesky (lpc.c:402-448), which is NOT correctly
+# rounded on glibc (measured: ~0.1% of inputs differ from the exactly-rounded
+# value) and whose exact behavior depends on the libm build — so the refit
+# itself runs on the HOST (same libm as the oracle/reference), while the
+# device runs the searches and forwards that surround it. The staged API:
+#
+#   to_f64, searches, forwards = build_final_pass_fns(...)
+#   buf = to_f64(signals)
+#   for li in layers:
+#       s = searches[li](buf, term_row)      # device: level search
+#       params = <host AF refit at s["units"]>
+#       buf = forwards[li](buf, params, s["best"])   # device: forward
+#
+# On XLA:CPU every device stage is bit-identical to the oracle by the same
+# construction as the sweep; the host stage IS the oracle.
+
+
+def _search_impl(buf: jnp.ndarray, term_row: jnp.ndarray, P: int, n: int):
+    """Final-pass unit-count search for one layer: AF-iteration-0 fits of
+    every admissible level at each row's winning ridge term
+    (linne_network.c:268-347 with the -a refit's surrounding state).
+
+    Returns dict(best [B] i32, units [B] i32,
+    parcor [B, sum(npu over levels)] f64, zc [B, n_levels] bool,
+    margin [B] f64) — parcor/zc are the per-level arena deposits for
+    `fold_final_pass`; margin is this search's guard sensor (zero-eps
+    distances + the level-argmin gap, tie-gated like the sweep's).
+    """
+    (levels, _level_params, level_preds_base, _level_preds_nobase,
+     level_parcor, level_zc, zc_margin, all_zc) = _layer_level_fits(
+        buf, P, n, term_row)
+    preds = jnp.stack(level_preds_base, axis=1)
+    losses = _serial_abs_mean(preds, 1, n)
+    best, gap = _first_strict_min(losses)
+    margin = jnp.minimum(zc_margin, jnp.where(all_zc, jnp.inf, gap))
+    return {
+        "best": best,
+        "units": jnp.asarray(levels, jnp.int32)[best],
+        "parcor": jnp.concatenate(level_parcor, axis=1),
+        "zc": jnp.stack(level_zc, axis=1),
+        "margin": margin,
+    }
+
+
+def _forward_impl(buf: jnp.ndarray, params: jnp.ndarray, best: jnp.ndarray,
+                  P: int, n: int):
+    """Forward one layer with host-refined params at the (data-dependent)
+    chosen unit level (linne_network.c:165-210): predictions are computed at
+    every admissible level from the same [B, P] parameter block and the
+    chosen level's is selected — non-chosen lanes are garbage and discarded.
+    """
+    B = buf.shape[0]
+    levels = _valid_levels(P, n)
+    preds = []
+    for u in levels:
+        npu = P // u
+        _pb, pn = _chain_predict(buf, params.reshape(B, u, npu), u)
+        preds.append(pn)
+    pred_all = jnp.stack(preds, axis=1)  # [B, L, n]
+    pred_sel = jnp.take_along_axis(
+        pred_all, best[:, None, None], axis=1)[:, 0]
+    return jnp.concatenate([buf[:, :1], buf[:, 1:] + pred_sel[:, 1:]],
+                           axis=1)
+
+
+@functools.lru_cache(maxsize=16)
+def build_final_pass_fns(layer_num_params: tuple, n: int,
+                         bits_per_sample: int):
+    """Jitted stages of the -a N final refit pass (see block comment above).
+
+    Returns (to_f64, searches, forwards): `to_f64` maps int32 signals [B, n]
+    to the oracle's scaled f64; `searches[li]`/`forwards[li]` are the
+    per-layer stages. Raises ValueError on unsupported shapes like
+    `build_fit_fn`.
+    """
+    if not supported(layer_num_params, n):
+        raise ValueError(f"unsupported shape for device-exact fit: "
+                         f"{layer_num_params} n={n}")
+    scale = 2.0 ** (-(bits_per_sample - 1))
+    to_f64 = jax.jit(lambda s: s.astype(_F64) * scale)
+    searches = tuple(
+        jax.jit(functools.partial(_search_impl, P=P, n=n))
+        for P in layer_num_params)
+    forwards = tuple(
+        jax.jit(functools.partial(_forward_impl, P=P, n=n))
+        for P in layer_num_params)
+    return to_f64, searches, forwards
+
+
+def final_level_layout(P: int, n: int):
+    """(offset, npu) per level into the concatenated final-pass parcor
+    columns emitted by `_search_impl`."""
+    offs = []
+    off = 0
+    for u in _valid_levels(P, n):
+        npu = P // u
+        offs.append((off, npu))
+        off += npu
+    return offs
+
+
+def fold_final_pass(parcor_coef: np.ndarray, final_layers: Sequence[dict],
+                    layer_num_params: Sequence[int], n: int) -> None:
+    """Replay the -a N final pass's parcor arena writes for ONE channel row:
+    per layer, each level's search deposit in order, then the chosen level's
+    refit re-deposit (the AF iterations themselves never write parcor —
+    lpc.c:578-661 only rewrites lpc_coef). `final_layers[li]` is a dict with
+    1-D "parcor" (concatenated level columns), "zc" [n_levels] and scalar
+    "best"."""
+    for li, P in enumerate(layer_num_params):
+        offs = final_level_layout(P, n)
+        fl = final_layers[li]
+        parc = np.asarray(fl["parcor"])
+        zc = np.asarray(fl["zc"])
+
+        def deposit(lvl: int) -> None:
+            off, npu = offs[lvl]
+            parcor_coef[:npu] = parc[off : off + npu]
+            if bool(zc[lvl]):
+                parcor_coef[npu] = 0.0
+
+        for lvl in range(len(offs)):
+            deposit(lvl)
+        deposit(int(fl["best"]))
+
+
+def quantize_margins_np(coefs: np.ndarray, nbits: int):
+    """Host (numpy) twin of `_quantize_layer`'s guard sensors, for the -a N
+    path where quantization runs host-side from device-drifted params
+    (exact/lpc.py quantize_coefficients). `coefs`: [P] final f64 params of
+    one layer row. Returns (round_margin, scale_margin) floats with the
+    same semantics as the device margins."""
+    import math
+
+    P = coefs.shape[0]
+    max_abs = 0.0
+    for v in coefs.tolist():
+        av = abs(v)
+        if max_abs < av:
+            max_abs = av
+    lowthr = math.pow(2.0, -(nbits - 1))
+    lm = abs(max_abs - lowthr) / lowthr
+    if max_abs <= lowthr:
+        return float("inf"), lm
+    _, ndigit = math.frexp(max_abs)
+    fm = min(max_abs - math.pow(2.0, ndigit - 1),
+             math.pow(2.0, ndigit) - max_abs) / max_abs
+    scale_margin = min(fm, lm)
+    scale = math.pow(2.0, (nbits - 1) - ndigit)
+    qmax = 1 << (nbits - 1)
+    qerror = 0.0
+    round_margin = float("inf")
+    for ordi in range(P - 1, -1, -1):
+        qerror += float(coefs[ordi]) * scale
+        y = qerror + 0.5 if qerror >= 0.0 else -qerror + 0.5
+        round_margin = min(round_margin, abs(y - round(y)))
+        qtmp = int(math.floor(y)) if qerror >= 0.0 else -int(math.floor(y))
+        if qtmp >= qmax:
+            qtmp = qmax - 1
+        elif qtmp < -qmax:
+            qtmp = -qmax
+        qerror -= qtmp
+    return round_margin, scale_margin
 
 
 def arena_layout(layer_num_params: Sequence[int], ridge_terms: Sequence[float],
@@ -546,7 +825,8 @@ def arena_layout(layer_num_params: Sequence[int], ridge_terms: Sequence[float],
 
 def fold_parcor_state(parcor_coef: np.ndarray, out: dict, num_channels: int,
                       layer_num_params: Sequence[int],
-                      ridge_terms: Sequence[float], n: int) -> None:
+                      ridge_terms: Sequence[float], n: int,
+                      include_final: bool = True) -> None:
     """Replay the fit's parcor_coef arena writes into the host array, in the
     reference's order: per channel, every sweep pass (each ridge term), then
     the final refit pass with the winning term (linne_network.c:605-630).
@@ -556,6 +836,12 @@ def fold_parcor_state(parcor_coef: np.ndarray, out: dict, num_channels: int,
     lpc.c:268-275), then the refit at the chosen level re-deposits that
     level's write. `parcor_coef` is mutated in place. Channel ch reads row
     ch of the arena arrays.
+
+    With AF iterations = 0 the final refit recomputes exactly the winning
+    sweep pass, so its replay reuses that pass's data; with -a N the caller
+    passes include_final=False and replays the final pass's own deposits via
+    `fold_final_pass` (the refit pass sees different layer inputs, so its
+    arena writes differ from every sweep pass).
     """
     entries, L = arena_layout(layer_num_params, ridge_terms, n)
     ap = np.asarray(out["arena_parcor"])
@@ -579,4 +865,5 @@ def fold_parcor_state(parcor_coef: np.ndarray, out: dict, num_channels: int,
     for ch in range(num_channels):
         for ti in range(len(ridge_terms)):
             apply_pass(ti, ch)
-        apply_pass(int(best_term[ch]), ch)
+        if include_final:
+            apply_pass(int(best_term[ch]), ch)

@@ -202,19 +202,117 @@ def test_device_encoder_encode_many_matches_whole():
         de._CHUNK = old_chunk
 
 
-def test_device_encoder_rejects_unsupported_modes():
+@pytest.mark.parametrize("preset_idx,af", [(0, 1), (0, 3), (1, 2)])
+def test_device_encoder_af_byte_identical(preset_idx, af):
+    """`-a N` on the device path: the sweep and the final pass's unit
+    searches/forwards run on the device, the N-iteration IRLS refit
+    (lpc.c:578-661) on the host — bytes must equal the oracle's, including
+    the final pass's own arena deposits (fold_final_pass) feeding the next
+    block-type decision. Covers a host-fallback tail block too."""
     from linne_tpu.codec.params import EncodeParameter
-    from linne_tpu.exact.device_encoder import DeviceExactEncoder
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
 
-    enc = DeviceExactEncoder()
-    with pytest.raises(ValueError):
-        enc.set_encode_parameter(EncodeParameter(
-            num_channels=2, bits_per_sample=16, sampling_rate=44100,
-            preset=0, ch_process_method=1, enable_learning=True))
-    with pytest.raises(ValueError):
-        enc.set_encode_parameter(EncodeParameter(
-            num_channels=2, bits_per_sample=16, sampling_rate=44100,
-            preset=0, ch_process_method=1, num_afmethod_iterations=2))
+    nsamp = N * 3 + 777
+    sig2 = _signal(1, nsamp, seed=41 + preset_idx + af, nch=2)
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        preset=preset_idx, ch_process_method=1, num_samples_per_block=N,
+        num_afmethod_iterations=af)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    ref = host.encode_whole([sig2[0], sig2[1]], nsamp)
+
+    old_chunk = de._CHUNK
+    de._CHUNK = 4
+    try:
+        dev = de.DeviceExactEncoder()
+        dev.set_encode_parameter(param)
+        assert dev.encode_whole([sig2[0], sig2[1]], nsamp) == ref
+    finally:
+        de._CHUNK = old_chunk
+
+
+@pytest.mark.parametrize("af", [0, 2])
+def test_device_encoder_learning_byte_identical(af):
+    """`-l` on the device path: the device prefit seeds the host (native)
+    momentum trainer per block; bytes must equal the oracle's — including
+    the -a N + -l combination, whose trainer starts from the AF-refined
+    params (linne_encoder.c:669-676)."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    nsamp = N * 2 + 333
+    sig2 = _signal(1, nsamp, seed=59 + af, nch=2)
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=0,
+        ch_process_method=1, num_samples_per_block=N,
+        num_afmethod_iterations=af, enable_learning=True)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    ref = host.encode_whole([sig2[0], sig2[1]], nsamp)
+
+    dev = de.DeviceExactEncoder()
+    dev.set_encode_parameter(param)
+    assert dev.encode_whole([sig2[0], sig2[1]], nsamp) == ref
+
+
+def test_device_encoder_af_encode_many_matches_whole():
+    """Pooled corpus fits with -a N: per-track bytes must equal the
+    per-track encode_whole (and the oracle)."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=1,
+        ch_process_method=1, num_samples_per_block=N,
+        num_afmethod_iterations=2)
+    lens = [N * 2 + 501, N, N + 99]
+    tracks = []
+    for i, ns in enumerate(lens):
+        sig2 = _signal(1, ns, seed=200 + i, nch=2)
+        tracks.append([sig2[0], sig2[1]])
+
+    old_chunk = de._CHUNK
+    de._CHUNK = 4
+    try:
+        enc = de.DeviceExactEncoder()
+        enc.set_encode_parameter(param)
+        many = enc.encode_many(tracks, lens)
+        for i, ns in enumerate(lens):
+            host = ExactEncoder()
+            host.set_encode_parameter(param)
+            assert many[i] == host.encode_whole(tracks[i], ns), f"track {i}"
+    finally:
+        de._CHUNK = old_chunk
+
+
+def test_device_encoder_instance_reuse_reprefits():
+    """A second encode_whole on the same instance must re-prefit for the
+    new signal instead of silently reusing the first signal's fit cache
+    (round-4 advisor finding)."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=0,
+        ch_process_method=1, num_samples_per_block=N)
+    s1 = _signal(1, N * 2, seed=301, nch=2)
+    s2 = _signal(1, N * 2 + 99, seed=302, nch=2)
+
+    dev = de.DeviceExactEncoder()
+    dev.set_encode_parameter(param)
+    dev.encode_whole([s1[0], s1[1]], N * 2)
+    got = dev.encode_whole([s2[0], s2[1]], N * 2 + 99)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    assert got == host.encode_whole([s2[0], s2[1]], N * 2 + 99)
 
 
 @pytest.mark.slow
@@ -289,8 +387,8 @@ def test_device_encoder_mesh_sharded_byte_identical():
 
 def test_cli_exact_device_flag(tmp_path):
     """`--exact-device` must emit exactly the bytes of `--exact` (both are
-    byte-identical to the reference C encoder) and reject -l / -a N with a
-    clean error instead of a traceback."""
+    byte-identical to the reference C encoder), for default flags and for
+    -a N / -l."""
     from linne_tpu import cli
     from linne_tpu.io.wav import write_wav
 
@@ -306,8 +404,116 @@ def test_cli_exact_device_flag(tmp_path):
     with open(a, "rb") as fa, open(b, "rb") as fb:
         assert fa.read() == fb.read()
 
-    # out-of-scope flags: clean nonzero exit, no output file
+    # -a N through the CLI: both paths byte-identical
     c = str(tmp_path / "c.lnn")
-    assert cli.main(["-e", "--exact-device", "-l", wav_in, c]) == 1
-    assert cli.main(["-e", "--exact-device", "-a", "2", wav_in, c]) == 1
-    assert not (tmp_path / "c.lnn").exists()
+    d = str(tmp_path / "d.lnn")
+    assert cli.main(["-e", "--exact", "-a", "2", wav_in, c]) == 0
+    assert cli.main(["-e", "--exact-device", "-a", "2", wav_in, d]) == 0
+    with open(c, "rb") as fc, open(d, "rb") as fd:
+        assert fc.read() == fd.read()
+
+    # --threads outside --exact is a clean error (round-4 advisor finding)
+    e = str(tmp_path / "e.lnn")
+    assert cli.main(["-e", "--exact-device", "--threads", "2",
+                     wav_in, e]) == 1
+    assert cli.main(["-e", "--exact", "--threads", "0", wav_in, e]) == 1
+    assert not (tmp_path / "e.lnn").exists()
+
+
+def test_guard_margins_emitted_and_sane():
+    """The hardware byte-identity guard's margin sensors: every fit row
+    emits [sel, scale, round] margins; on ordinary signals they sit many
+    orders of magnitude above the drift bounds (expected flag rate ~0)."""
+    preset = PRESETS[1]
+    sig = _signal(4, N, seed=500)
+    fit = build_fit_fn(preset.layer_num_params, preset.ridge_terms, N, BPS,
+                       LPC_COEF_BITWIDTH)
+    m = np.asarray(fit(jnp.asarray(sig))["margins"])
+    assert m.shape == (4, 3)
+    assert np.all(m >= 0)
+    from linne_tpu.exact import device_encoder as de
+    assert np.all(m[:, 0] > de._MARGIN_REL * 100)
+    assert np.all(m[:, 1] > de._MARGIN_REL * 100)
+    assert np.all(m[:, 2] > de._MARGIN_ABS * 100)
+
+
+def test_guard_flagged_rows_fall_back_to_oracle(monkeypatch):
+    """With the guard bounds forced huge, every fit row is flagged and the
+    encoder must fall back to the host oracle per row — bytes unchanged,
+    flags counted. This pins the fallback path the real guard would take
+    on an actual drift event."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    nsamp = N * 2 + 321
+    sig2 = _signal(1, nsamp, seed=71, nch=2)
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=0,
+        ch_process_method=1, num_samples_per_block=N)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    ref = host.encode_whole([sig2[0], sig2[1]], nsamp)
+
+    monkeypatch.setattr(de, "_MARGIN_REL", 1e9)
+    monkeypatch.setattr(de, "_MARGIN_ABS", 1e9)
+    dev = de.DeviceExactEncoder()
+    dev.set_encode_parameter(param)
+    assert dev.encode_whole([sig2[0], sig2[1]], nsamp) == ref
+    assert dev.guard_rows_total == 4  # 2 full blocks x 2 channels
+    assert dev.guard_rows_flagged == 4
+
+
+def test_guard_decision_margin_refresh(monkeypatch):
+    """The decision-margin arena refresh: with the decision bound forced
+    huge (but row flagging disabled), every post-device-block type decision
+    re-fits the previous block on the host oracle before re-estimating —
+    bytes must be unchanged (the refresh reproduces the oracle arena)."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    nsamp = N * 3
+    sig2 = _signal(1, nsamp, seed=72, nch=2)
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=1,
+        ch_process_method=1, num_samples_per_block=N)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    ref = host.encode_whole([sig2[0], sig2[1]], nsamp)
+
+    monkeypatch.setattr(de, "_MARGIN_REL", 1e9)
+    monkeypatch.setattr(
+        de.DeviceExactEncoder, "_row_flagged", lambda self, row: False)
+    dev = de.DeviceExactEncoder()
+    dev.set_encode_parameter(param)
+    assert dev.encode_whole([sig2[0], sig2[1]], nsamp) == ref
+    assert dev.guard_decisions_flagged >= 1
+    assert dev.guard_rows_flagged == 0
+
+
+def test_guard_af_margins(monkeypatch):
+    """-a N guard: flagged rows (host-quantize + search margins) fall back
+    to the oracle with bytes unchanged."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    nsamp = N * 2
+    sig2 = _signal(1, nsamp, seed=73, nch=2)
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=0,
+        ch_process_method=1, num_samples_per_block=N,
+        num_afmethod_iterations=2)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    ref = host.encode_whole([sig2[0], sig2[1]], nsamp)
+
+    monkeypatch.setattr(de, "_MARGIN_ABS", 1e9)
+    dev = de.DeviceExactEncoder()
+    dev.set_encode_parameter(param)
+    assert dev.encode_whole([sig2[0], sig2[1]], nsamp) == ref
+    assert dev.guard_rows_flagged == dev.guard_rows_total == 4

@@ -112,3 +112,21 @@ def test_parallel_exact_af_with_learning_encode_many():
         host = ExactEncoder()
         host.set_encode_parameter(param)
         assert many[i] == host.encode_whole(tracks[i], ns), f"track {i}"
+
+
+def test_parallel_exact_instance_reuse_reprefits():
+    """A second encode_whole on the same instance must re-prefit for the
+    new signal instead of silently reusing the first signal's fit cache
+    (round-4 advisor finding)."""
+    param = _param(0)
+    s1 = _signal(N * 2, seed=401)
+    s2 = _signal(N * 2 + 99, seed=402)
+
+    par = ParallelExactEncoder(num_threads=3)
+    par.set_encode_parameter(param)
+    par.encode_whole([s1[0], s1[1]], N * 2)
+    got = par.encode_whole([s2[0], s2[1]], N * 2 + 99)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    assert got == host.encode_whole([s2[0], s2[1]], N * 2 + 99)
