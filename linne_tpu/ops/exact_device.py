@@ -54,7 +54,12 @@ from ..constants import FLT_EPSILON, FLT_MAX
 from ..exact.lpc import _welch_window
 
 _MAX_NUM_UNITS = 128
-_SCAN_UNROLL = 8
+# Scan unroll factors: sequential-loop iteration overhead (not arithmetic)
+# dominates the emulated-f64 fit on TPU (docs/PROFILE_r5.md), so the long
+# serial-sum scans unroll aggressively; unrolling only changes how many
+# serial steps one loop iteration performs, never their order.
+_SCAN_UNROLL = 32
+_LD_INNER_UNROLL = 8
 
 _F64 = jnp.float64
 
@@ -117,24 +122,28 @@ def _autocorr_serial(seg: jnp.ndarray, nlags: int) -> jnp.ndarray:
     -0.0), so the fixed-length scan is bit-identical to the per-lag
     variable-length serial sums.
 
-    The products are materialized OUTSIDE the scan and the scan body is a
-    pure add: XLA:CPU contracts `acc + x*y` inside a scan body into an FMA
-    (measured; `optimization_barrier` on the product does not stop it),
-    which breaks bit-identity with the reference's separate mul/add.
+    Products are computed INSIDE the scan body behind the `_mulsh` FMA
+    shield (the select survives to instruction selection and blocks the
+    `acc + x*y` contraction — the same measured-bit-exact construction the
+    Levinson-Durbin scans use). Earlier revisions materialized the full
+    [ns, nlags, B, U] product tensor outside the scan instead; that is
+    O(ns*nlags) memory — 10+ GB for the order-128 layer at corpus batch —
+    and capped the fit chunk size the TPU could take.
     """
     B, U, ns = seg.shape
     segp = jnp.concatenate(
         [seg, jnp.zeros((B, U, nlags - 1), _F64)], axis=2)
-    # gathered[i, lag, b, u] = seg[b, u, i + lag]
-    segp_t = jnp.moveaxis(segp, 2, 0)
-    idx = jnp.arange(ns)[:, None] + jnp.arange(nlags)[None, :]
-    prods = jnp.moveaxis(seg, 2, 0)[:, None] * segp_t[idx]
+    segp_t = jnp.moveaxis(segp, 2, 0)  # [ns + nlags - 1, B, U]
+    seg_t = jnp.moveaxis(seg, 2, 0)  # [ns, B, U]
 
-    def body(acc, p):
-        return acc + p, None
+    def body(carry, xi):
+        acc, i = carry
+        w = lax.dynamic_slice_in_dim(segp_t, i, nlags, axis=0)
+        return (acc + _mulsh(xi[None], w), i + 1), None
 
     acc0 = jnp.zeros((nlags, B, U), _F64)
-    acc, _ = lax.scan(body, acc0, prods, unroll=_SCAN_UNROLL)
+    (acc, _), _ = lax.scan(
+        body, (acc0, jnp.int32(0)), seg_t, unroll=_SCAN_UNROLL)
     return jnp.moveaxis(acc, 0, 2)
 
 
@@ -214,7 +223,8 @@ def _levinson_scan_tail(ac: jnp.ndarray, order: int, a1: jnp.ndarray,
                 jnp.take(ac, jnp.clip(k + 1 - i, 0, order), axis=-1))
             return jnp.where(i <= k, g + term, g), None
 
-        g, _ = lax.scan(gbody, zero, jnp.arange(order))
+        g, _ = lax.scan(gbody, zero, jnp.arange(order),
+                        unroll=_LD_INNER_UNROLL)
         gamma = g / (-ek)
         ek_new = ek * (1.0 - _mulsh(gamma, gamma))
         u = jnp.where(idx <= k, a, 0.0)
