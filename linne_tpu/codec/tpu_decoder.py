@@ -37,6 +37,12 @@ from ..format.block import BLOCK_HEADER_SIZE, parse_block_header, read_raw_paylo
 from ..format.header import FormatError, LinneHeader, check_stream_capacity
 from ..format.huffman import get_codebook
 from ..ops.synthesis import synthesize_rows
+
+import os
+
+# Row-chunk size for the streamed reconstruction download (overlaps the
+# host unpack with the next chunk's D2H transfer on large pools).
+_DL_CHUNK_ROWS = int(os.environ.get("LINNE_DECODE_DL_CHUNK", "128"))
 from ..presets import PRESETS
 from .params import DecoderConfig
 
@@ -269,18 +275,49 @@ class TpuDecoder:
                     R = step(R, jnp.asarray(np.asarray(idx, np.int32)),
                              jnp.asarray(np.concatenate(crows, axis=0)),
                              jnp.asarray(np.concatenate(rsrows, axis=0)))
-            # ONE slim download: W-bit packed plane + per-row overflow flag
+            # slim download: W-bit packed plane + per-row overflow flag.
+            # Large pools stream down in row chunks with the host unpack
+            # overlapped against the next chunk's transfer (the download is
+            # the pooled path's wall through a tunnel-attached device,
+            # docs/PROFILE_r4.md) — a puller thread fetches chunk k+1 while
+            # the GIL-released native unpack consumes chunk k.
             from ..ops.bitpack import pack_geometry
             from .encoder import TpuEncoder
 
-            host = np.asarray(_pack_download(R, W=W))
+            packed = _pack_download(R, W=W)
             g, _wpg = pack_geometry(W)
             width = ((n + g - 1) // g) * g
-            if native.available():
-                host_R = native.unpack_bits(host[:, 1:], W, width)
+            rows_total = int(packed.shape[0])
+            if rows_total > 2 * _DL_CHUNK_ROWS and native.available():
+                import queue
+                import threading
+
+                starts = list(range(0, rows_total, _DL_CHUNK_ROWS))
+                slices = [packed[s : s + _DL_CHUNK_ROWS] for s in starts]
+                q: "queue.Queue" = queue.Queue(maxsize=2)
+
+                def _pull():
+                    for k, sl in enumerate(slices):
+                        q.put((k, np.asarray(sl)))
+
+                threading.Thread(target=_pull, daemon=True).start()
+                parts: list = [None] * len(slices)
+                wide_mask = np.zeros(rows_total, dtype=np.int32)
+                for _ in slices:
+                    k, hostk = q.get()
+                    parts[k] = native.unpack_bits(hostk[:, 1:], W, width)
+                    wide_mask[starts[k] : starts[k] + hostk.shape[0]] = (
+                        hostk[:, 0])
+                host_R = np.vstack(parts)
+                host = None
             else:
-                host_R = TpuEncoder._unpack_res(host[:, 1:], W)
-            wide = np.nonzero(host[:, 0])[0]
+                host = np.asarray(packed)
+                wide_mask = host[:, 0]
+                if native.available():
+                    host_R = native.unpack_bits(host[:, 1:], W, width)
+                else:
+                    host_R = TpuEncoder._unpack_res(host[:, 1:], W)
+            wide = np.nonzero(wide_mask)[0]
             if wide.size:
                 m = 1 << (int(wide.size) - 1).bit_length()
                 idx = np.concatenate(

@@ -376,3 +376,36 @@ def test_python_fallback_decode_matches_native(encoded, monkeypatch):
     got = Decoder().decode_whole(data)
     for c in range(2):
         assert np.array_equal(got[c], want[c])
+
+
+def test_tpu_decoder_streamed_download_chunks(monkeypatch):
+    """The streamed reconstruction download (row chunks pulled on a thread
+    while the native unpack consumes earlier chunks) must reproduce the
+    one-shot download's samples exactly — forced here with a tiny chunk so
+    the pooled rows split across many pulls, including a wide (int32) row."""
+    import linne_tpu.codec.tpu_decoder as td
+    from linne_tpu import native
+    from conftest import WAVEFORMS
+    from linne_tpu.codec.encoder import TpuEncoder
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.constants import CH_PROCESS_MS
+
+    if not native.available():
+        import pytest as _pytest
+
+        _pytest.skip("needs the native host library")
+
+    n = 2560 * 3
+    sig = WAVEFORMS["gauss"](n, 2, 16, seed=9)
+    enc = TpuEncoder(batch_blocks=4)
+    enc.set_encode_parameter(EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100,
+        num_samples_per_block=2560, preset=0,
+        ch_process_method=CH_PROCESS_MS))
+    data = enc.encode_whole([sig[0], sig[1]], n)
+
+    monkeypatch.setattr(td, "_DL_CHUNK_ROWS", 1)
+    outs = td.TpuDecoder().decode_many([data, data])
+    for out in outs:
+        for c in range(2):
+            assert np.array_equal(out[c], sig[c])
