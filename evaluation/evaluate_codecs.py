@@ -247,6 +247,70 @@ def build_codecs(args):
     return codecs
 
 
+def run_parity_grid(wavs, workdir: pathlib.Path, out_dir: pathlib.Path) -> int:
+    """Full flag-grid compression parity vs the same-box C binary:
+    8 modes x {plain, -l, -a 3} per track on the fast (TPU) path. Emits
+    parity_grid.csv with per-cell size percentages for both
+    implementations, the delta in percentage points, and a lossless
+    column (asserted by decode + compare, never assumed). Timing is NOT
+    this artifact's claim — bench.py measures performance; this pins size
+    parity for the whole flag surface (reference:
+    evaluation/codec_comparison_summery.csv pins the C side's numbers).
+    """
+    ref = REPO / ".refbuild" / "linne"
+    if not ref.is_file():
+        print("reference C binary missing (.refbuild/linne)", file=sys.stderr)
+        return 1
+    flagsets = [("plain", [], {}), ("-l", ["-l"], {"learning": True}),
+                ("-a 3", ["-a", "3"], {"af_iters": 3})]
+    codecs = {(m, f): LinneTpuCodec(m, **kw)
+              for m in range(8) for (f, _c, kw) in flagsets}
+    out_rows = []
+    for wav in wavs:
+        fmt, samples = read_wav(str(wav))
+        orig = wav.stat().st_size
+        for mode in range(8):
+            for fname, cflags, _kw in flagsets:
+                codec = codecs[(mode, fname)]
+                codec._warmup(fmt)
+                enc = codec._encoder_for(fmt)
+                data = enc.encode_whole(list(samples), fmt.num_samples)
+                decoded = Decoder().decode_whole(data)
+                lossless = all(
+                    np.array_equal(decoded[c], samples[c])
+                    for c in range(fmt.num_channels))
+                size_t = 100.0 * len(data) / orig
+                comp = workdir / "grid.lnn"
+                subprocess.run(
+                    [str(ref), "-e", "-m", str(mode), *cflags,
+                     str(wav), str(comp)],
+                    check=True, capture_output=True)
+                size_c = 100.0 * comp.stat().st_size / orig
+                delta = size_t - size_c
+                out_rows.append([wav.name, mode, fname, round(size_t, 4),
+                                 round(size_c, 4), round(delta, 4),
+                                 lossless])
+                print(f"{wav.name:16s} m{mode} {fname:5s} "
+                      f"ours {size_t:7.3f}%  C {size_c:7.3f}%  "
+                      f"d {delta:+8.4f}pp  lossless={lossless}", flush=True)
+    path = out_dir / "parity_grid.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["track", "mode", "flags", "size_pct_tpu", "size_pct_c",
+                    "delta_pp", "lossless"])
+        w.writerows(out_rows)
+    # speech16 is the known chaotic clip: the C binary swings tens of pp
+    # against ITSELF across flag sets on it (docs/PROFILE_r4.md), so its
+    # cells measure fit-landscape chaos, not implementation deviation
+    deltas = [abs(r[5]) for r in out_rows if not str(r[0]).startswith(
+        "speech16")]
+    assert all(r[6] for r in out_rows), "lossless failure in grid"
+    print(f"wrote {path}")
+    print(f"max |delta| excluding speech16: {max(deltas):.4f} pp "
+          f"over {len(deltas)} cells")
+    return 0
+
+
 def synth_corpus(root: pathlib.Path):
     """Deterministic synthetic mini-corpus in reference genre layout."""
     rng = np.random.default_rng(7)
@@ -385,6 +449,10 @@ def main():
                     help="benchmark the jax-free ExactEncoder host path "
                          "(plus -l/-a rows) against the C CLI instead of "
                          "the TPU path; writes exact_host_comparison.csv")
+    ap.add_argument("--parity-grid", action="store_true",
+                    help="size-parity grid: all 8 modes x {plain, -l, "
+                         "-a 3} per track, fast path vs the C binary; "
+                         "writes parity_grid.csv")
     ap.add_argument("--out", default=str(REPO / "evaluation"))
     ap.add_argument("--repeat", type=int, default=1,
                     help="full sweeps; per-cell min of the time metrics "
@@ -407,6 +475,10 @@ def main():
     if not wavs:
         print("no wav files found", file=sys.stderr)
         return 1
+    if args.parity_grid:
+        out_dir = pathlib.Path(args.out)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        return run_parity_grid(wavs, workdir, out_dir)
     codecs = build_codecs(args)
 
     best = {}  # (codec, genre, wav) -> CodecResult with per-cell min times

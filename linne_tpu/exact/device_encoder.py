@@ -33,9 +33,13 @@ touches the analysis arena. Tail blocks and any shape
 block, preserving arena order.
 
 On XLA:CPU the pipeline is bit-identical to the oracle by construction
-(FMA-shielded serial-order ops — see exact_device docstring). On TPU f64 is
-emulated (~1e-15/op) so byte-identity on hardware is empirical, asserted
-per corpus by the bench/eval gates rather than guaranteed.
+(FMA-shielded serial-order ops — see exact_device docstring, strict mode).
+On TPU f64 is emulated (~1e-15/op), so the encoder runs the fast graph
+(parallel tree reductions, same op set) and relies on the margin guard
+below: every decision (unit level, ridge term, quantizer rounding, zero
+cases, block-type threshold) must clear the `_MARGIN_*` drift bounds or
+the row falls back to the host oracle — making byte identity certified
+per row, not merely empirical per corpus.
 """
 
 from __future__ import annotations

@@ -29,7 +29,25 @@ Precision caveat, measured in docs/PROFILE_r4.md: on XLA:CPU f64 is IEEE-754
 and this pipeline is *byte-identical* with the host oracle. On TPU v5e f64
 is emulated (float-float, ~1e-15 relative error per op, not correctly
 rounded), so byte-identity on hardware is probabilistic — asserted
-empirically per corpus, never guaranteed.
+empirically per corpus and, since r5, certified per row by the margin
+guard (`exact/device_encoder.py` `_MARGIN_*`): any decision within the
+drift bound of a boundary falls back to the host oracle.
+
+Two modes (docs/PROFILE_r5.md):
+
+- **strict** — every C serial accumulation is a `lax.scan` (or unrolled
+  chain) in the same left-to-right order; bit-identical to the oracle on
+  IEEE-f64 backends. This is the CPU-gate path and the byte-identity
+  proof. Its sequential depth (~30k dependent scan steps per preset-7
+  fit) makes it latency-bound on TPU.
+- **fast** — the SAME operation set with the serial sums replaced by
+  parallel tree reductions, still in (emulated) f64. On TPU a tree
+  reduction's drift vs the oracle's serial f64 (~1e-13) is smaller than
+  the serial emulation's own drift (~1.6e-11 measured), both orders of
+  magnitude under the 1e-9 guard bound — so the guard's certificate is
+  exactly as sound while the sequential depth collapses to the order-128
+  Levinson-Durbin recursion itself (127 steps). Selected automatically
+  off-CPU; override with LINNE_EXACT_DEVICE_STRICT=0/1.
 
 Scope: auxiliary-function iterations = 0 (the CLI default) and `-l` off;
 the IRLS/Cholesky and trainer refinements remain host-only. Blocks must
@@ -42,6 +60,7 @@ without threading the arena through every fit.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -62,6 +81,18 @@ _SCAN_UNROLL = 32
 _LD_INNER_UNROLL = 8
 
 _F64 = jnp.float64
+
+
+def _resolve_strict(strict) -> bool:
+    """None -> strict on IEEE-f64 backends (the bit-exact gate), fast on
+    accelerators (guarded — see module docstring). LINNE_EXACT_DEVICE_STRICT
+    overrides ("1"/"0")."""
+    if strict is not None:
+        return bool(strict)
+    env = os.environ.get("LINNE_EXACT_DEVICE_STRICT")
+    if env not in (None, "", "auto"):
+        return env not in ("0", "fast", "false")
+    return jax.default_backend() == "cpu"
 
 
 def _valid_levels(num_params: int, n: int) -> list:
@@ -145,6 +176,21 @@ def _autocorr_serial(seg: jnp.ndarray, nlags: int) -> jnp.ndarray:
     (acc, _), _ = lax.scan(
         body, (acc0, jnp.int32(0)), seg_t, unroll=_SCAN_UNROLL)
     return jnp.moveaxis(acc, 0, 2)
+
+
+def _autocorr_fast(seg: jnp.ndarray, nlags: int) -> jnp.ndarray:
+    """Fast-mode autocorrelation: one parallel reduction per lag (same
+    products as `_autocorr_serial`, tree summation order)."""
+    B, U, ns = seg.shape
+    segp = jnp.concatenate(
+        [seg, jnp.zeros((B, U, nlags - 1), _F64)], axis=2)
+    cols = [jnp.sum(seg * lax.slice_in_dim(segp, lag, lag + ns, axis=2),
+                    axis=2) for lag in range(nlags)]
+    return jnp.stack(cols, axis=-1)
+
+
+def _autocorr(seg: jnp.ndarray, nlags: int, strict: bool) -> jnp.ndarray:
+    return (_autocorr_serial if strict else _autocorr_fast)(seg, nlags)
 
 
 # Above this order the unrolled O(order^2)-HLO-op recursion is replaced by a
@@ -241,7 +287,66 @@ def _levinson_scan_tail(ac: jnp.ndarray, order: int, a1: jnp.ndarray,
     return a[..., 1 : order + 1], parcor
 
 
-def _chain_predict(x: jnp.ndarray, params: jnp.ndarray, num_units: int):
+def _levinson_fast(ac: jnp.ndarray, order: int):
+    """Fast-mode Levinson-Durbin: the same recursion with the inner serial
+    sum as ONE parallel dot per step (the `a` array keeps zeros beyond the
+    current step, so windowed products outside 0..k contribute exact
+    zeros). Sequential depth = order, vs order^2 in strict mode. Returns
+    (lpc_coef, parcor, zerocase) like `_levinson_serial`."""
+    zerocase = jnp.abs(ac[..., 0]) < FLT_EPSILON
+    shape = ac.shape[:-1]
+    a0 = jnp.zeros(shape + (order + 2,), _F64).at[..., 0].set(1.0)
+    parc0 = jnp.zeros(shape + (order,), _F64)
+    ek = ac[..., 0]
+    if order >= 1:
+        a1 = -ac[..., 1] / ac[..., 0]
+        parc0 = parc0.at[..., 0].set(ac[..., 1] / ek)
+        ek = ek + ac[..., 1] * a1
+        a0 = a0.at[..., 1].set(a1)
+
+    if order > 1:
+        # acr_pad[m] = ac[order - m], zero-padded so per-step windows of
+        # length order+2 always read defined values
+        acr_pad = jnp.concatenate(
+            [jnp.flip(ac, axis=-1),
+             jnp.zeros(shape + (order + 2,), _F64)], axis=-1)
+        idxs = jnp.arange(order)
+
+        def body(carry, k):
+            a, ek, parcor = carry
+            # w[i] = ac[k+1-i] for i <= k+1, zeros beyond (a is zero there)
+            w = lax.dynamic_slice_in_dim(
+                acr_pad, order - k - 1, order + 2, axis=-1)
+            g = jnp.sum(a * w, axis=-1)
+            gamma = g / (-ek)
+            ek = ek * (1.0 - gamma * gamma)
+            # v[i] = a[k+1-i] for 1 <= i <= k+1, zeros at i=0 and beyond
+            ar_pad = jnp.concatenate(
+                [jnp.flip(a, axis=-1),
+                 jnp.zeros(shape + (order + 2,), _F64)], axis=-1)
+            v = lax.dynamic_slice_in_dim(
+                ar_pad, order - k, order + 2, axis=-1)
+            a = a + gamma[..., None] * v
+            parcor = jnp.where(idxs == k, -gamma[..., None], parcor)
+            return (a, ek, parcor), None
+
+        (a0, ek, parc0), _ = lax.scan(
+            body, (a0, ek, parc0), jnp.arange(1, order))
+
+    nz = ~zerocase
+    return (
+        jnp.where(nz[..., None], a0[..., 1 : order + 1], 0.0),
+        jnp.where(nz[..., None], parc0, 0.0),
+        zerocase,
+    )
+
+
+def _levinson(ac: jnp.ndarray, order: int, strict: bool):
+    return (_levinson_serial if strict else _levinson_fast)(ac, order)
+
+
+def _chain_predict(x: jnp.ndarray, params: jnp.ndarray, num_units: int,
+                   strict: bool = True):
     """Per-sample serial tap chains, vectorized over time
     (linne_network.c:165-210,319-335; oracle: _unit_predictions).
 
@@ -249,6 +354,10 @@ def _chain_predict(x: jnp.ndarray, params: jnp.ndarray, num_units: int):
     like layer.params. Returns (with_base, no_base), each [B, n]:
     with_base[t] = ((x[t] + p0*w0) + p1*w1)...; no_base starts from 0.0.
     Entry 0 of unit 0 is garbage by the same convention as the oracle.
+
+    Fast mode keeps the tap chain (depth <= 128, already width-parallel
+    over time) but drops the FMA shield — contraction only tightens the
+    result there, and fast mode is guarded, not bit-gated.
     """
     B, n = x.shape
     npu = params.shape[2]
@@ -258,15 +367,20 @@ def _chain_predict(x: jnp.ndarray, params: jnp.ndarray, num_units: int):
     nobase = jnp.zeros((B, num_units, ns), _F64)
     for j in range(npu):
         w = lax.slice_in_dim(xp, j, j + n, axis=1).reshape(B, num_units, ns)
-        term = _mulsh(params[:, :, j : j + 1], w)
+        p = params[:, :, j : j + 1]
+        term = _mulsh(p, w) if strict else p * w
         base = base + term
         nobase = nobase + term
     return base.reshape(B, n), nobase.reshape(B, n)
 
 
-def _serial_abs_mean(rows: jnp.ndarray, start: int, n: int) -> jnp.ndarray:
-    """serial_sum(|rows[..., start:n]|) / n over the trailing axis, serial
-    in t (linne_network.c:50-63). rows: [B, ...]; returns [B, ...]."""
+def _serial_abs_mean(rows: jnp.ndarray, start: int, n: int,
+                     strict: bool = True) -> jnp.ndarray:
+    """sum(|rows[..., start:n]|) / n over the trailing axis — serial in t
+    in strict mode (linne_network.c:50-63), a parallel reduction in fast
+    mode. rows: [B, ...]; returns [B, ...]."""
+    if not strict:
+        return jnp.sum(jnp.abs(rows[..., start:n]), axis=-1) / n
     rows_t = jnp.moveaxis(jnp.abs(rows[..., start:n]), -1, 0)
 
     def body(acc, x):
@@ -373,7 +487,8 @@ def _quantize_layer(coefs: jnp.ndarray, nbits: int):
 # ---------------------------------------------------------------------------
 
 
-def _layer_level_fits(buf: jnp.ndarray, P: int, n: int, regular_term):
+def _layer_level_fits(buf: jnp.ndarray, P: int, n: int, regular_term,
+                      strict: bool = True):
     """Fit every admissible unit level of one layer on `buf`
     (linne_network.c:284-335). `regular_term` is a scalar (possibly traced,
     for the vmapped ridge sweep) or a per-row [B] array (the -a N final
@@ -403,7 +518,7 @@ def _layer_level_fits(buf: jnp.ndarray, P: int, n: int, regular_term):
         ns = n // u
         w = jnp.asarray(_welch_window(ns))  # exact host-f64 constants
         seg = buf.reshape(B, u, ns) * w
-        ac = _autocorr_serial(seg, npu + 1)
+        ac = _autocorr(seg, npu + 1, strict)
         # ridge on r0 (lpc.c:358): *= 1.0 + term (exact at term == 0)
         tfac = 1.0 + t
         if t.ndim == 1:
@@ -412,11 +527,11 @@ def _layer_level_fits(buf: jnp.ndarray, P: int, n: int, regular_term):
         ac0 = jnp.abs(ac[..., 0])  # [B, U]
         zm = jnp.abs(ac0 - FLT_EPSILON) / jnp.maximum(ac0, FLT_EPSILON)
         zc_margin = jnp.minimum(zc_margin, jnp.min(zm, axis=1))
-        coefs, parcor, zc = _levinson_serial(ac, npu)
+        coefs, parcor, zc = _levinson(ac, npu, strict)
         all_zc = all_zc & jnp.all(zc, axis=1)
         # layer.params layout: per unit, time-reversed taps
         params = jnp.flip(coefs, axis=2).reshape(B, P)
-        pb, pn = _chain_predict(buf, params.reshape(B, u, npu), u)
+        pb, pn = _chain_predict(buf, params.reshape(B, u, npu), u, strict)
         level_params.append(params)
         level_preds_base.append(pb)
         level_preds_nobase.append(pn)
@@ -448,7 +563,7 @@ def _first_strict_min(losses: jnp.ndarray):
 
 
 def _fit_pass(x: jnp.ndarray, layer_num_params: tuple, n: int,
-              regular_term: float):
+              regular_term: float, strict: bool = True):
     """One greedy layer-by-layer fit at a fixed ridge term.
 
     Returns (units [B,L] i32, params [B, sum(P)] f64, loss [B], arena,
@@ -469,10 +584,10 @@ def _fit_pass(x: jnp.ndarray, layer_num_params: tuple, n: int,
     for P in layer_num_params:
         (levels, level_params, level_preds_base, level_preds_nobase,
          level_parcor, level_zc, zc_margin, all_zc) = _layer_level_fits(
-            buf, P, n, regular_term)
+            buf, P, n, regular_term, strict)
 
         preds = jnp.stack(level_preds_base, axis=1)  # [B, L, n]
-        losses = _serial_abs_mean(preds, 1, n)  # [B, L]
+        losses = _serial_abs_mean(preds, 1, n, strict)  # [B, L]
         best, gap = _first_strict_min(losses)
         # all-zero-fit rows' level losses are bit-equal -> tie is
         # deterministic (first index), not drift-sensitive
@@ -496,7 +611,7 @@ def _fit_pass(x: jnp.ndarray, layer_num_params: tuple, n: int,
         all_params.append(params_sel)
         arena.append((level_parcor, level_zc, best))
 
-    loss = _serial_abs_mean(buf, 0, n)
+    loss = _serial_abs_mean(buf, 0, n, strict)
     return (
         jnp.stack(all_units, axis=1),
         jnp.concatenate(all_params, axis=1),
@@ -512,9 +627,18 @@ def _fit_pass(x: jnp.ndarray, layer_num_params: tuple, n: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=16)
 def build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
-                 bits_per_sample: int, coef_bits: int):
+                 bits_per_sample: int, coef_bits: int, strict=None):
+    """Compile the full preset fit for one block shape. `strict` selects
+    the bit-exact serial graph vs the guarded fast graph (None = auto by
+    backend; module docstring)."""
+    return _build_fit_fn(layer_num_params, ridge_terms, n, bits_per_sample,
+                         coef_bits, _resolve_strict(strict))
+
+
+@functools.lru_cache(maxsize=16)
+def _build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
+                  bits_per_sample: int, coef_bits: int, strict: bool):
     """Compile the full preset fit for one block shape.
 
     Returns a jitted fn: int32 signals [B, n] (post MS + pre-emphasis) ->
@@ -556,7 +680,8 @@ def build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
         # emulated-f64 preset-0 graph alone takes ~19 min). vmap is
         # per-lane op-identical here (no cross-lane reductions), so
         # bit-exactness is preserved (pinned by the preset-1 oracle tests).
-        vm = jax.vmap(lambda t: _fit_pass(x, tuple(layer_num_params), n, t))
+        vm = jax.vmap(
+            lambda t: _fit_pass(x, tuple(layer_num_params), n, t, strict))
         units_t, params_t, loss_t, arena_t, selm_t, allzc_t = vm(
             jnp.asarray(ridge_terms, _F64))
         per_term = [
@@ -666,7 +791,8 @@ def build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
 # construction as the sweep; the host stage IS the oracle.
 
 
-def _search_impl(buf: jnp.ndarray, term_row: jnp.ndarray, P: int, n: int):
+def _search_impl(buf: jnp.ndarray, term_row: jnp.ndarray, P: int, n: int,
+                 strict: bool = True):
     """Final-pass unit-count search for one layer: AF-iteration-0 fits of
     every admissible level at each row's winning ridge term
     (linne_network.c:268-347 with the -a refit's surrounding state).
@@ -679,9 +805,9 @@ def _search_impl(buf: jnp.ndarray, term_row: jnp.ndarray, P: int, n: int):
     """
     (levels, _level_params, level_preds_base, _level_preds_nobase,
      level_parcor, level_zc, zc_margin, all_zc) = _layer_level_fits(
-        buf, P, n, term_row)
+        buf, P, n, term_row, strict)
     preds = jnp.stack(level_preds_base, axis=1)
-    losses = _serial_abs_mean(preds, 1, n)
+    losses = _serial_abs_mean(preds, 1, n, strict)
     best, gap = _first_strict_min(losses)
     margin = jnp.minimum(zc_margin, jnp.where(all_zc, jnp.inf, gap))
     return {
@@ -694,7 +820,7 @@ def _search_impl(buf: jnp.ndarray, term_row: jnp.ndarray, P: int, n: int):
 
 
 def _forward_impl(buf: jnp.ndarray, params: jnp.ndarray, best: jnp.ndarray,
-                  P: int, n: int):
+                  P: int, n: int, strict: bool = True):
     """Forward one layer with host-refined params at the (data-dependent)
     chosen unit level (linne_network.c:165-210): predictions are computed at
     every admissible level from the same [B, P] parameter block and the
@@ -705,7 +831,7 @@ def _forward_impl(buf: jnp.ndarray, params: jnp.ndarray, best: jnp.ndarray,
     preds = []
     for u in levels:
         npu = P // u
-        _pb, pn = _chain_predict(buf, params.reshape(B, u, npu), u)
+        _pb, pn = _chain_predict(buf, params.reshape(B, u, npu), u, strict)
         preds.append(pn)
     pred_all = jnp.stack(preds, axis=1)  # [B, L, n]
     pred_sel = jnp.take_along_axis(
@@ -714,26 +840,32 @@ def _forward_impl(buf: jnp.ndarray, params: jnp.ndarray, best: jnp.ndarray,
                            axis=1)
 
 
-@functools.lru_cache(maxsize=16)
 def build_final_pass_fns(layer_num_params: tuple, n: int,
-                         bits_per_sample: int):
+                         bits_per_sample: int, strict=None):
     """Jitted stages of the -a N final refit pass (see block comment above).
 
     Returns (to_f64, searches, forwards): `to_f64` maps int32 signals [B, n]
     to the oracle's scaled f64; `searches[li]`/`forwards[li]` are the
     per-layer stages. Raises ValueError on unsupported shapes like
-    `build_fit_fn`.
+    `build_fit_fn`. `strict` as in `build_fit_fn`.
     """
+    return _build_final_pass_fns(tuple(layer_num_params), n,
+                                 bits_per_sample, _resolve_strict(strict))
+
+
+@functools.lru_cache(maxsize=16)
+def _build_final_pass_fns(layer_num_params: tuple, n: int,
+                          bits_per_sample: int, strict: bool):
     if not supported(layer_num_params, n):
         raise ValueError(f"unsupported shape for device-exact fit: "
                          f"{layer_num_params} n={n}")
     scale = 2.0 ** (-(bits_per_sample - 1))
     to_f64 = jax.jit(lambda s: s.astype(_F64) * scale)
     searches = tuple(
-        jax.jit(functools.partial(_search_impl, P=P, n=n))
+        jax.jit(functools.partial(_search_impl, P=P, n=n, strict=strict))
         for P in layer_num_params)
     forwards = tuple(
-        jax.jit(functools.partial(_forward_impl, P=P, n=n))
+        jax.jit(functools.partial(_forward_impl, P=P, n=n, strict=strict))
         for P in layer_num_params)
     return to_f64, searches, forwards
 

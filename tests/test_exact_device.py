@@ -553,3 +553,53 @@ def test_mesh_width_byte_identity(ndev):
         assert dev.encode_whole([sig2[0], sig2[1]], nsamp) == ref
     finally:
         de._CHUNK = old_chunk
+
+
+def test_fast_mode_fit_matches_decisions():
+    """Fast mode (parallel tree reductions, the TPU production graph): on
+    an IEEE-f64 backend its drift vs the strict serial graph is ~1e-13, so
+    every DECISION output (units, int coefficients, rshifts, ridge choice)
+    must match bit-for-bit on ordinary signals, with f64 params within
+    1e-9 and comfortable guard margins."""
+    preset = PRESETS[1]
+    sig = _signal(4, N, seed=606)
+    f_strict = build_fit_fn(preset.layer_num_params, preset.ridge_terms, N,
+                            BPS, LPC_COEF_BITWIDTH, strict=True)
+    f_fast = build_fit_fn(preset.layer_num_params, preset.ridge_terms, N,
+                          BPS, LPC_COEF_BITWIDTH, strict=False)
+    a = jax.tree.map(np.asarray, f_strict(jnp.asarray(sig)))
+    b = jax.tree.map(np.asarray, f_fast(jnp.asarray(sig)))
+    for key in ("units", "int_coefs", "rshifts", "best_term"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    np.testing.assert_allclose(a["params"], b["params"], rtol=0, atol=1e-9)
+    from linne_tpu.exact import device_encoder as de
+    m = b["margins"]
+    assert np.all(m[:, 0] > de._MARGIN_REL * 100)
+    assert np.all(m[:, 2] > de._MARGIN_ABS * 100)
+
+
+@pytest.mark.parametrize("af", [0, 2])
+def test_fast_mode_guarded_byte_identity(monkeypatch, af):
+    """End-to-end in fast mode: the margin guard certifies the decisions,
+    so the emitted bytes must equal the host oracle's with ~zero flagged
+    rows — the exact contract the TPU production path runs under."""
+    from linne_tpu.codec.params import EncodeParameter
+    from linne_tpu.exact import device_encoder as de
+    from linne_tpu.exact.encoder import ExactEncoder
+
+    monkeypatch.setenv("LINNE_EXACT_DEVICE_STRICT", "0")
+    nsamp = N * 3 + 777
+    sig2 = _signal(1, nsamp, seed=607 + af, nch=2)
+    param = EncodeParameter(
+        num_channels=2, bits_per_sample=16, sampling_rate=44100, preset=1,
+        ch_process_method=1, num_samples_per_block=N,
+        num_afmethod_iterations=af)
+
+    host = ExactEncoder()
+    host.set_encode_parameter(param)
+    ref = host.encode_whole([sig2[0], sig2[1]], nsamp)
+
+    dev = de.DeviceExactEncoder()
+    dev.set_encode_parameter(param)
+    assert dev.encode_whole([sig2[0], sig2[1]], nsamp) == ref
+    assert dev.guard_rows_flagged == 0

@@ -113,7 +113,10 @@ def main():
         device_realtime_x=round(audio_s / best, 1),
         first_s=round(first_s, 2),
         host_encode_s=round(host_s, 3),
-        host_realtime_x=round(audio_s / host_s, 1))
+        host_realtime_x=round(audio_s / host_s, 1),
+        strict=dev._resolve_strict(None),
+        guard_rows_total=d.guard_rows_total,
+        guard_rows_flagged=d.guard_rows_flagged)
 
 
 if __name__ == "__main__":
