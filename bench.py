@@ -355,6 +355,12 @@ def _exact_device_rows(rate: int, spb: int) -> dict:
         "exact_device_corpus_realtime_x": round(
             (ntracks * tlen / rate) / cbest, 1),
         "exact_device_byte_identical": bool(identical),
+        # hardware byte-identity guard (VERDICT r4 item 3): host-refit
+        # fallback fraction — expected ~0 (drift bound has ~100x headroom)
+        "exact_device_guard_flagged": dev.guard_rows_flagged
+        + denc.guard_rows_flagged,
+        "exact_device_guard_total": dev.guard_rows_total
+        + denc.guard_rows_total,
         "exact_host_encode_mode0_realtime_x": round(host_x, 1),
     }
 
@@ -432,6 +438,10 @@ def _exact_device_m7_rows(rate: int, spb: int) -> dict:
                 "exact_device_corpus_mode7_realtime_x": round(
                     (ntracks * tlen / rate) / cbest, 1),
                 "exact_device_mode7_byte_identical": bool(identical),
+                "exact_device_mode7_guard_flagged": dev.guard_rows_flagged
+                + denc.guard_rows_flagged,
+                "exact_device_mode7_guard_total": dev.guard_rows_total
+                + denc.guard_rows_total,
                 "exact_host_encode_mode7_realtime_x_short": round(
                     (n / rate) / host_s, 1),
             })
