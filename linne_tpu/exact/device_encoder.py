@@ -80,16 +80,31 @@ def preemph_plane(parameter, channels: Sequence[np.ndarray],
     transform `_encode_compress_payload` applies (linne_encoder.c:624-641),
     without side-info bookkeeping. Shared by the device-exact and
     thread-parallel exact prefit passes."""
+    return preemph_plane_side(parameter, channels, n)[0]
+
+
+def preemph_plane_side(parameter, channels: Sequence[np.ndarray], n: int
+                       ) -> Tuple[np.ndarray, list]:
+    """`preemph_plane` plus the per-channel [(prev, coef), ...] side-info
+    stages the payload serializer writes — returned so the prefit's plane
+    can be REUSED by `_encode_compress_payload` instead of recomputed (the
+    MS+preemph pass was ~15% of the corpus host strand; the transform is
+    deterministic integer math, so the cached plane is the byte-identical
+    one)."""
     buf = np.stack([c[:n].astype(np.int32) for c in
                     channels[: parameter.num_channels]])
     if parameter.ch_process_method == CH_PROCESS_MS:
         ms_conversion(buf[0], buf[1])
+    stages_all = []
     for ch in range(parameter.num_channels):
+        stages = []
         for _stage in range(NUM_PREEMPH_FILTERS):
             prev = int(buf[ch, 0])
             coef = preemphasis_calculate_coefficient(buf[ch], n)
             preemphasis(buf[ch], n, prev, coef)
-    return buf
+            stages.append((prev, coef))
+        stages_all.append(stages)
+    return buf, stages_all
 
 
 class DeviceExactEncoder(ExactEncoder):
@@ -115,6 +130,10 @@ class DeviceExactEncoder(ExactEncoder):
                     f"LINNE_EXACT_DEVICE_CHUNK={_CHUNK} not divisible by "
                     f"the {ndev}-device mesh")
         self._fit_cache: Dict[int, dict] = {}
+        # full-block MS+preemph planes + side stages from the prefit,
+        # consumed (popped) by _ms_preemph_stages so the payload encode
+        # skips the duplicate transform
+        self._plane_cache: Dict[int, tuple] = {}
         self._cache_preinstalled = False  # set (one-shot) by encode_many
         self._block_index = -1
         # hardware byte-identity guard state (see _MARGIN_* above):
@@ -132,9 +151,23 @@ class DeviceExactEncoder(ExactEncoder):
 
     # -- batched prepass ----------------------------------------------------
 
-    def _preemph_plane(self, channels: Sequence[np.ndarray], n: int
-                       ) -> np.ndarray:
-        return preemph_plane(self.parameter, channels, n)
+    def _preemph_plane(self, channels: Sequence[np.ndarray], n: int,
+                       block_index: int | None = None) -> np.ndarray:
+        plane, stages = preemph_plane_side(self.parameter, channels, n)
+        if block_index is not None:
+            self._plane_cache[block_index] = (plane, stages)
+        return plane
+
+    def _ms_preemph_stages(self, channels: Sequence[np.ndarray],
+                           n: int) -> List[list]:
+        cached = self._plane_cache.pop(self._block_index, None)
+        if cached is None or n != self.parameter.num_samples_per_block:
+            return super()._ms_preemph_stages(channels, n)
+        plane, stages = cached
+        nch = self.parameter.num_channels
+        self.buffer_int[:nch, :n] = plane
+        self.buffer_int[:nch, n:] = 0
+        return stages
 
     def _prefit_blocks(self, channels: Sequence[np.ndarray],
                        num_samples: int) -> None:
@@ -160,17 +193,18 @@ class DeviceExactEncoder(ExactEncoder):
         if not full:
             return
 
-        fit = _dev.build_fit_fn(
+        fit, unpack = _dev.build_packed_fit_fn(
             self.preset.layer_num_params, self.preset.ridge_terms, bs,
             p.bits_per_sample, LPC_COEF_BITWIDTH)
 
         planes = np.empty((len(full), nch, bs), dtype=np.int32)
         for row, (bi, pos) in enumerate(full):
             planes[row] = self._preemph_plane(
-                [c[pos : pos + bs] for c in channels], bs)
+                [c[pos : pos + bs] for c in channels], bs, block_index=bi)
 
         rows = planes.reshape(len(full) * nch, bs)
-        fetched = _fetch_valid_rows(self._dispatch_fit_chunks(rows, fit, bs))
+        fetched = _fetch_valid_rows(
+            self._dispatch_fit_chunks(rows, fit, bs), unpack)
 
         # re-split per block
         flat = [_row_view(fetched, r) for r in range(len(full) * nch)]
@@ -464,6 +498,7 @@ class DeviceExactEncoder(ExactEncoder):
             self._cache_preinstalled = False
         else:
             self._fit_cache = {}
+            self._plane_cache = {}
             self._block_index = -1
             self._prefit_blocks(channels, num_samples)
         return super().encode_whole(channels, num_samples, progress_cb)
@@ -489,37 +524,52 @@ class DeviceExactEncoder(ExactEncoder):
                 outs.append(enc.encode_whole(chans, ns))
             return outs
 
-        fit = _dev.build_fit_fn(
+        fit, unpack = _dev.build_packed_fit_fn(
             self.preset.layer_num_params, self.preset.ridge_terms, bs,
             p.bits_per_sample, LPC_COEF_BITWIDTH)
 
-        # gather (track, block) full-block planes across the corpus
-        placements = []  # (track_idx, block_idx)
-        plane_rows = []
+        # locate every full block across the corpus (cheap, no transforms)
+        placements = []  # (track_idx, block_idx, sample_pos)
         for ti, (chans, ns) in enumerate(zip(tracks, num_samples)):
             pos = 0
             bi = 0
             while pos < ns:
                 n = min(bs, ns - pos)
                 if n == bs:
-                    placements.append((ti, bi))
-                    plane_rows.append(self._preemph_plane(
-                        [c[pos : pos + bs] for c in chans], bs))
+                    placements.append((ti, bi, pos))
                 bi += 1
                 pos += n
 
         row_of_block: List[List[Tuple[int, int]]] = [[] for _ in tracks]
-        for k, (ti, bi) in enumerate(placements):
+        for k, (ti, bi, _pos) in enumerate(placements):
             row_of_block[ti].append((bi, k * nch))
 
         get_row = None
+        plane_store: Dict[Tuple[int, int], tuple] = {}
         if placements:
-            rows = np.concatenate(plane_rows, axis=0)  # [n_blocks*nch, bs]
-            pending = self._dispatch_fit_chunks(rows, fit, bs)
+            # gather + dispatch interleaved in chunk-sized groups of whole
+            # blocks: the device computes chunk i while the host runs chunk
+            # i+1's MS+preemph transforms (planes + side stages are kept for
+            # the per-track payload encodes — the transform runs ONCE)
+            blocks_per_chunk = max(1, _CHUNK // nch)
+            pending = []
+            row_pieces = []
+            for gs in range(0, len(placements), blocks_per_chunk):
+                group = placements[gs : gs + blocks_per_chunk]
+                chunk_rows = np.empty((len(group) * nch, bs), np.int32)
+                for gi, (ti, bi, pos) in enumerate(group):
+                    plane, stages = preemph_plane_side(
+                        p, [c[pos : pos + bs] for c in tracks[ti]], bs)
+                    plane_store[(ti, bi)] = (plane, stages)
+                    chunk_rows[gi * nch : (gi + 1) * nch] = plane
+                pending.extend(
+                    self._dispatch_fit_chunks(chunk_rows, fit, bs))
+                row_pieces.append(chunk_rows)
             if p.num_afmethod_iterations > 0:
+                rows = np.concatenate(row_pieces, axis=0)
                 # the final refit pass is a device<->host ping-pong per
                 # layer, so the sweep is fetched up front (no overlap)
-                fetched = _fetch_valid_rows(pending)
+                fetched = _fetch_valid_rows(pending, unpack)
                 finals = self._final_pass_rows(rows, fetched)
 
                 def get_row(r: int, _f=fetched, _fin=finals):
@@ -527,7 +577,7 @@ class DeviceExactEncoder(ExactEncoder):
                     d["final"] = _fin[r]
                     return self._apply_guard(d)
             else:
-                _fetch_row = self._overlapped_row_fetch(pending)
+                _fetch_row = self._overlapped_row_fetch(pending, unpack)
 
                 def get_row(r: int, _fr=_fetch_row):
                     return self._apply_guard(_fr(r))
@@ -539,24 +589,27 @@ class DeviceExactEncoder(ExactEncoder):
                 enc._fit_cache = {
                     bi: _merge_rows([get_row(r + c) for c in range(nch)])
                     for bi, r in row_of_block[ti]}
+                enc._plane_cache = {
+                    bi: plane_store.pop((ti, bi))
+                    for bi, _r in row_of_block[ti]}
                 enc._cache_preinstalled = True
             enc._block_index = -1
             outs.append(enc.encode_whole(chans, ns))
         return outs
 
     @staticmethod
-    def _overlapped_row_fetch(pending):
+    def _overlapped_row_fetch(pending, unpack):
         """Fetch dispatched chunks on a worker thread while the caller runs
         the serial host strands (block-type decisions, integer predict,
         entropy packing) for tracks whose fits already landed. The tunnel
         D2H and the host packing are different resources, and every native
         host call releases the GIL, so the pulls hide behind the encode of
         earlier tracks instead of serializing in front of the whole corpus.
-        Returns get_row(r) -> row dict, blocking only until row r's chunk
-        is in."""
+        Each chunk is two packed buffers -> two D2H RPCs (the padded tail
+        rows ride along: the tunnel RPC is latency-bound, and slicing on
+        device would cost an extra dispatch). Returns get_row(r) -> row
+        dict, blocking only until row r's chunk is in."""
         import threading
-
-        import jax
 
         results: List[dict] = [None] * len(pending)
         done = [threading.Event() for _ in pending]
@@ -564,9 +617,9 @@ class DeviceExactEncoder(ExactEncoder):
 
         def _pull():
             try:
-                for ci, (out, valid) in enumerate(pending):
-                    sliced = jax.tree.map(lambda a: a[:valid], out)
-                    results[ci] = jax.tree.map(np.asarray, sliced)
+                for ci, ((f64, i32), valid) in enumerate(pending):
+                    results[ci] = unpack(
+                        np.asarray(f64)[:valid], np.asarray(i32)[:valid])
                     done[ci].set()
             except BaseException as e:  # surfaced on the caller's next wait
                 err.append(e)
@@ -575,33 +628,35 @@ class DeviceExactEncoder(ExactEncoder):
 
         threading.Thread(target=_pull, daemon=True).start()
 
+        # chunks may hold fewer than _CHUNK valid rows (interleaved gather
+        # groups whole blocks), so map global row -> (chunk, offset) via the
+        # cumulative valid counts instead of a fixed divisor
+        bounds = np.cumsum([0] + [valid for _, valid in pending])
+
         def get_row(r: int) -> dict:
-            ci, off = divmod(r, _CHUNK)
+            ci = int(np.searchsorted(bounds, r, "right")) - 1
             done[ci].wait()
             if err:
                 raise err[0]
-            return _row_view(results[ci], off)
+            return _row_view(results[ci], r - int(bounds[ci]))
 
         return get_row
 
 
-def _fetch_valid_rows(pending) -> dict:
-    """Concatenate the valid rows of every dispatched chunk ON DEVICE, then
-    fetch once: the tunnel charges ~one RPC per pulled buffer, so pulling 8
-    leaves total instead of 8 x n_chunks dominates the steady-state encode
-    wall time (measured: 2.27 s -> 0.93 s came from flattening the arena;
-    this removes the remaining per-chunk multiplier)."""
-    import jax
-    import jax.numpy as jnp
-
-    if len(pending) == 1:
-        out, valid = pending[0]
-        sliced = jax.tree.map(lambda a: a[:valid], out)
-        return jax.tree.map(np.asarray, sliced)
-    trees = [jax.tree.map(lambda a: a[:valid], out)
-             for out, valid in pending]
-    joined = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *trees)
-    return jax.tree.map(np.asarray, joined)
+def _fetch_valid_rows(pending, unpack) -> dict:
+    """Fetch every dispatched chunk's two packed buffers and unpack into one
+    row-concatenated dict. The tunnel charges ~one RPC per pulled buffer
+    (latency-bound, ~70 ms each), so the packed form costs 2 RPCs per chunk
+    instead of the dict form's 9 (measured: 2.27 s -> 0.93 s came from
+    flattening the arena; packing removed the remaining per-leaf
+    multiplier). Padded tail rows are fetched and dropped host-side —
+    cheaper than an on-device slice dispatch."""
+    parts = [(np.asarray(f64)[:valid], np.asarray(i32)[:valid])
+             for (f64, i32), valid in pending]
+    if len(parts) == 1:
+        return unpack(*parts[0])
+    return unpack(np.concatenate([p[0] for p in parts], axis=0),
+                  np.concatenate([p[1] for p in parts], axis=0))
 
 
 def _row_view(out: dict, r: int) -> dict:

@@ -120,6 +120,30 @@ class ExactEncoder:
 
     # -- compress payload --------------------------------------------------
 
+    def _ms_preemph_stages(self, channels: Sequence[np.ndarray],
+                           n: int) -> List[list]:
+        """Fill `buffer_int` with this block's MS + pre-emphasized plane and
+        return the per-channel [(prev, coef), ...] side-info stages
+        (linne_encoder.c:624-641). Overridable hook: the device-exact
+        encoder substitutes the plane its prefit already computed."""
+        p = self.parameter
+        buf = self.buffer_int
+        for ch in range(p.num_channels):
+            buf[ch, :n] = channels[ch][:n]
+            buf[ch, n:] = 0
+        if p.ch_process_method == CH_PROCESS_MS:
+            ms_conversion(buf[0, :n], buf[1, :n])
+        stages_all = []
+        for ch in range(p.num_channels):
+            stages = []
+            for _stage in range(NUM_PREEMPH_FILTERS):
+                prev = int(buf[ch, 0])
+                coef = preemphasis_calculate_coefficient(buf[ch], n)
+                preemphasis(buf[ch], n, prev, coef)
+                stages.append((prev, coef))
+            stages_all.append(stages)
+        return stages_all
+
     def _fit_quantize_channel(self, buf: np.ndarray, ch: int, n: int,
                               num_analyze: int
                               ) -> Tuple[List[int], List[int],
@@ -162,22 +186,8 @@ class ExactEncoder:
         nch = p.num_channels
         buf = self.buffer_int
 
-        for ch in range(nch):
-            buf[ch, :n] = channels[ch][:n]
-            buf[ch, n:] = 0
-
-        if p.ch_process_method == CH_PROCESS_MS:
-            ms_conversion(buf[0, :n], buf[1, :n])
-
         side = CompressBlockSideInfo()
-        for ch in range(nch):
-            stages = []
-            for _stage in range(NUM_PREEMPH_FILTERS):
-                prev = int(buf[ch, 0])
-                coef = preemphasis_calculate_coefficient(buf[ch], n)
-                preemphasis(buf[ch], n, prev, coef)
-                stages.append((prev, coef))
-            side.preemph.append(stages)
+        side.preemph = self._ms_preemph_stages(channels, n)
 
         # analysis length: round up to the unit-field grid, clip to
         # [max layer order, block size] (linne_encoder.c:643-655)

@@ -95,6 +95,7 @@ def _resolve_strict(strict) -> bool:
     return jax.default_backend() == "cpu"
 
 
+@functools.lru_cache(maxsize=256)
 def _valid_levels(num_params: int, n: int) -> list:
     """Power-of-two unit counts admissible for (num_params, n) — the same
     filter as linne_network.c:300-303."""
@@ -765,6 +766,82 @@ def _build_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
     return jax.jit(fit)
 
 
+@functools.lru_cache(maxsize=64)
+def _packed_fit_layout(layer_num_params: tuple, ridge_terms: tuple, n: int):
+    """Column widths of the two packed fit buffers (see
+    `build_packed_fit_fn`): returns (f64 split offsets, i32 split offsets,
+    n_layers, sum_params)."""
+    entries, L = arena_layout(layer_num_params, ridge_terms, n)
+    sum_p = int(sum(layer_num_params))
+    aw = max(off + w for off, w, _ in entries.values())
+    az = max(z for _, _, z in entries.values()) + 1
+    tl = len(ridge_terms) * L
+    f64_offs = np.cumsum([0, sum_p, aw, 3])  # params, arena_parcor, margins
+    i32_offs = np.cumsum([0, L, sum_p, L, 1, tl, az])
+    #          units, int_coefs, rshifts, best_term, arena_best, arena_zc
+    return f64_offs, i32_offs, L, sum_p
+
+
+def build_packed_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
+                        bits_per_sample: int, coef_bits: int, strict=None):
+    """`build_fit_fn` with every output leaf packed into TWO buffers
+    ([B, F] f64 and [B, I] i32) inside the same jitted computation, plus an
+    `unpack(f64_np, i32_np) -> dict` to recover the canonical dict host-side.
+
+    Motivation: through the axon tunnel every fetched device buffer costs
+    one D2H RPC (~70 ms latency regardless of size — docs/PROFILE_r4.md
+    roofline); the 9-leaf dict made the corpus encode fetch-bound (measured
+    0.66 s of a 1.05 s wall). Two leaves cost two RPCs per chunk and the
+    packing concat is free next to the fit itself."""
+    return _build_packed_fit_fn(
+        tuple(layer_num_params), tuple(ridge_terms), n, bits_per_sample,
+        coef_bits, _resolve_strict(strict))
+
+
+@functools.lru_cache(maxsize=16)
+def _build_packed_fit_fn(layer_num_params: tuple, ridge_terms: tuple, n: int,
+                         bits_per_sample: int, coef_bits: int, strict: bool):
+    """Cached: a fresh jax.jit wrapper per call would miss the jit cache
+    every encode (measured: ~18 s/run persistent-cache deserialization of
+    the preset-7 executable instead of a sub-second warm dispatch)."""
+    base = _build_fit_fn(layer_num_params, ridge_terms, n,
+                         bits_per_sample, coef_bits, strict)
+    f64_offs, i32_offs, L, sum_p = _packed_fit_layout(
+        tuple(layer_num_params), tuple(ridge_terms), n)
+
+    @jax.jit
+    def packed(signals: jnp.ndarray):
+        out = base(signals)  # inlined under this jit — one dispatch
+        f64 = jnp.concatenate(
+            [out["params"], out["arena_parcor"], out["margins"]], axis=1)
+        i32 = jnp.concatenate(
+            [out["units"].astype(jnp.int32),
+             out["int_coefs"].astype(jnp.int32),
+             out["rshifts"].astype(jnp.int32),
+             out["best_term"].astype(jnp.int32)[:, None],
+             out["arena_best"].astype(jnp.int32),
+             out["arena_zc"].astype(jnp.int32)],
+            axis=1)
+        return f64, i32
+
+    fo, io = f64_offs, i32_offs
+
+    def unpack(f64: np.ndarray, i32: np.ndarray) -> dict:
+        return {
+            "params": f64[:, fo[0] : fo[1]],
+            "arena_parcor": f64[:, fo[1] : fo[2]],
+            "margins": f64[:, fo[2] : fo[3]],
+            "units": i32[:, io[0] : io[1]],
+            "int_coefs": i32[:, io[1] : io[2]],
+            "rshifts": i32[:, io[2] : io[3]],
+            "best_term": i32[:, io[3]],
+            "arena_best": i32[:, io[4] : io[5]],
+            "arena_zc": i32[:, io[5] : io[6]] != 0,
+        }
+
+    return packed, unpack
+
+
 # ---------------------------------------------------------------------------
 # -a N final pass (device search/forward + host AF refit hybrid)
 # ---------------------------------------------------------------------------
@@ -952,6 +1029,11 @@ def arena_layout(layer_num_params: Sequence[int], ridge_terms: Sequence[float],
     (term, layer, level) order `build_fit_fn` emits: returns
     (entries, n_layers) with entries[(ti, li, lvl)] = (parcor_off, npu_w,
     zc_col)."""
+    return _arena_layout(tuple(layer_num_params), tuple(ridge_terms), n)
+
+
+@functools.lru_cache(maxsize=64)
+def _arena_layout(layer_num_params: tuple, ridge_terms: tuple, n: int):
     entries = {}
     off = 0
     zc = 0
@@ -992,20 +1074,34 @@ def fold_parcor_state(parcor_coef: np.ndarray, out: dict, num_channels: int,
     best_term = np.asarray(out["best_term"])
     n_levels = [len(_valid_levels(P, n)) for P in layer_num_params]
 
-    def apply_pass(ti: int, ch: int) -> None:
-        for li in range(L):
-            def deposit(lvl: int) -> None:
-                off, npu_w, zc = entries[(ti, li, lvl)]
-                parcor_coef[:npu_w] = ap[ch, off : off + npu_w]
-                if bool(az[ch, zc]):
-                    parcor_coef[npu_w] = 0.0
-
-            for lvl in range(n_levels[li]):
-                deposit(lvl)
-            deposit(int(ab[ch, ti * L + li]))
-
+    # Only the arena's FINAL state is observable (nothing reads it between
+    # deposits — the next block-type estimate is the sole consumer,
+    # lpc.c:846-848), so instead of replaying every deposit in order
+    # (~85 prefix writes per row; this loop dominated the corpus host
+    # strand), walk the deposit sequence BACKWARD and fill each index once:
+    # a deposit writes the prefix [0:npu] then (on the zero-signal case)
+    # the single cell [npu] = 0, so processing in reverse with a covered-
+    # prefix watermark and a set of later point writes reproduces the same
+    # final array in <= #distinct-sizes numpy copies.
     for ch in range(num_channels):
-        for ti in range(len(ridge_terms)):
-            apply_pass(ti, ch)
+        seq = []  # deposits in execution order
+        terms = list(range(len(ridge_terms)))
         if include_final:
-            apply_pass(int(best_term[ch]), ch)
+            terms.append(int(best_term[ch]))
+        for ti in terms:
+            for li in range(L):
+                for lvl in range(n_levels[li]):
+                    seq.append(entries[(ti, li, lvl)])
+                seq.append(entries[(ti, li, int(ab[ch, ti * L + li]))])
+        covered = 0
+        pts: set = set()
+        for off, npu_w, zc in reversed(seq):
+            if bool(az[ch, zc]) and npu_w >= covered and npu_w not in pts:
+                parcor_coef[npu_w] = 0.0
+                pts.add(npu_w)
+            if npu_w > covered:
+                parcor_coef[covered:npu_w] = ap[ch, off + covered : off + npu_w]
+                for i in pts:
+                    if covered <= i < npu_w:
+                        parcor_coef[i] = 0.0
+                covered = npu_w

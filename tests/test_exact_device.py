@@ -603,3 +603,24 @@ def test_fast_mode_guarded_byte_identity(monkeypatch, af):
     dev.set_encode_parameter(param)
     assert dev.encode_whole([sig2[0], sig2[1]], nsamp) == ref
     assert dev.guard_rows_flagged == 0
+
+
+def test_packed_fit_matches_dict():
+    """build_packed_fit_fn must be a pure re-layout of build_fit_fn: two
+    fetch buffers, bit-equal leaves after unpack (the packed form exists
+    because every fetched leaf costs one D2H RPC through the TPU tunnel)."""
+    from linne_tpu.ops.exact_device import build_packed_fit_fn
+
+    preset = PRESETS[1]  # two ridge terms: exercises best_term packing
+    sig = _signal(3, N, seed=77)
+    fit = build_fit_fn(preset.layer_num_params, preset.ridge_terms, N, BPS,
+                       LPC_COEF_BITWIDTH)
+    pfit, unpack = build_packed_fit_fn(
+        preset.layer_num_params, preset.ridge_terms, N, BPS,
+        LPC_COEF_BITWIDTH)
+    want = {k: np.asarray(v) for k, v in fit(jnp.asarray(sig)).items()}
+    f64, i32 = pfit(jnp.asarray(sig))
+    got = unpack(np.asarray(f64), np.asarray(i32))
+    assert set(got) == set(want)
+    for k in want:
+        assert np.array_equal(np.asarray(got[k], want[k].dtype), want[k]), k

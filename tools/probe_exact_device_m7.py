@@ -48,8 +48,9 @@ def main():
         layers=list(preset.layer_num_params),
         nridge=len(preset.ridge_terms))
 
-    fit = dev.build_fit_fn(preset.layer_num_params, preset.ridge_terms, n,
-                           16, LPC_COEF_BITWIDTH)
+    fit, unpack = dev.build_packed_fit_fn(
+        preset.layer_num_params, preset.ridge_terms, n, 16,
+        LPC_COEF_BITWIDTH)
 
     rng = np.random.default_rng(7)
     rows = (rng.normal(0, 3000, (CHUNK, n))).astype(np.int32)
@@ -57,17 +58,19 @@ def main():
     # NOTE: time via an actual host fetch — on the axon backend
     # block_until_ready returns before the computation completes (measured:
     # 1 ms "steady" timings for a multi-hundred-ms fit), so only a D2H pull
-    # is an honest fence.
+    # is an honest fence. The packed form (2 buffers) is what the encoder
+    # dispatches, so this also warms the production executable's jit cache.
     t0 = time.perf_counter()
-    out = fit(jnp.asarray(rows))
-    np.asarray(out["int_coefs"])
+    f64, i32 = fit(jnp.asarray(rows))
+    unpack(np.asarray(f64), np.asarray(i32))
     compile_s = time.perf_counter() - t0
     log(stage="compiled", compile_s=round(compile_s, 1))
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(fit(jnp.asarray(rows))["int_coefs"])
+        f64, i32 = fit(jnp.asarray(rows))
+        unpack(np.asarray(f64), np.asarray(i32))
         best = min(best, time.perf_counter() - t0)
     msamp = CHUNK * n / 1e6
     log(stage="fit_steady", fit_s=round(best, 3),
