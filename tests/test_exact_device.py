@@ -624,3 +624,55 @@ def test_packed_fit_matches_dict():
     assert set(got) == set(want)
     for k in want:
         assert np.array_equal(np.asarray(got[k], want[k].dtype), want[k]), k
+
+
+def test_fold_reverse_fill_matches_ordered_replay():
+    """fold_parcor_state computes the arena's final state by a reverse walk
+    (covered-prefix watermark + later point writes). Pin equivalence with
+    the definitionally-correct ordered deposit replay on randomized arena
+    contents, zero-flags, best levels and best terms."""
+    from linne_tpu.ops.exact_device import _valid_levels, arena_layout
+
+    lps = (4, 128, 16)
+    terms = (0.0, 1e-5, 1e-4, 1e-3)
+    n = 10240
+    entries, L = arena_layout(lps, terms, n)
+    aw = max(off + w for off, w, _ in entries.values())
+    az = max(z for _, _, z in entries.values()) + 1
+    n_levels = [len(_valid_levels(P, n)) for P in lps]
+    rng = np.random.default_rng(123)
+
+    def ordered_replay(parcor, out):
+        ap, azr, ab = out["arena_parcor"], out["arena_zc"], out["arena_best"]
+
+        def apply_pass(ti):
+            for li in range(L):
+                def deposit(lvl):
+                    off, npu, zc = entries[(ti, li, lvl)]
+                    parcor[:npu] = ap[0, off : off + npu]
+                    if bool(azr[0, zc]):
+                        parcor[npu] = 0.0
+                for lvl in range(n_levels[li]):
+                    deposit(lvl)
+                deposit(int(ab[0, ti * L + li]))
+
+        for ti in range(len(terms)):
+            apply_pass(ti)
+        apply_pass(int(out["best_term"][0]))
+
+    for _ in range(50):
+        ab = np.zeros((1, len(terms) * L), np.int64)
+        for ti in range(len(terms)):
+            for li in range(L):
+                ab[0, ti * L + li] = rng.integers(0, n_levels[li])
+        out = {
+            "arena_parcor": rng.normal(size=(1, aw)),
+            "arena_zc": rng.random((1, az)) < 0.3,
+            "arena_best": ab,
+            "best_term": rng.integers(0, len(terms), size=(1,)),
+        }
+        a = rng.normal(size=160)
+        b = a.copy()
+        ordered_replay(a, out)
+        fold_parcor_state(b, out, 1, lps, terms, n)
+        assert np.array_equal(a, b)
