@@ -266,39 +266,43 @@ def run_parity_grid(wavs, workdir: pathlib.Path, out_dir: pathlib.Path) -> int:
     codecs = {(m, f): LinneTpuCodec(m, **kw)
               for m in range(8) for (f, _c, kw) in flagsets}
     out_rows = []
-    for wav in wavs:
-        fmt, samples = read_wav(str(wav))
-        orig = wav.stat().st_size
-        for mode in range(8):
-            for fname, cflags, _kw in flagsets:
-                codec = codecs[(mode, fname)]
-                codec._warmup(fmt)
-                enc = codec._encoder_for(fmt)
-                data = enc.encode_whole(list(samples), fmt.num_samples)
-                decoded = Decoder().decode_whole(data)
-                lossless = all(
-                    np.array_equal(decoded[c], samples[c])
-                    for c in range(fmt.num_channels))
-                size_t = 100.0 * len(data) / orig
-                comp = workdir / "grid.lnn"
-                subprocess.run(
-                    [str(ref), "-e", "-m", str(mode), *cflags,
-                     str(wav), str(comp)],
-                    check=True, capture_output=True)
-                size_c = 100.0 * comp.stat().st_size / orig
-                delta = size_t - size_c
-                out_rows.append([wav.name, mode, fname, round(size_t, 4),
-                                 round(size_c, 4), round(delta, 4),
-                                 lossless])
-                print(f"{wav.name:16s} m{mode} {fname:5s} "
-                      f"ours {size_t:7.3f}%  C {size_c:7.3f}%  "
-                      f"d {delta:+8.4f}pp  lossless={lossless}", flush=True)
     path = out_dir / "parity_grid.csv"
+    # stream rows to disk as they finish: a full grid is hours of encodes
+    # and a late crash must not discard the completed cells
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["track", "mode", "flags", "size_pct_tpu", "size_pct_c",
                     "delta_pp", "lossless"])
-        w.writerows(out_rows)
+        for wav in wavs:
+            fmt, samples = read_wav(str(wav))
+            orig = wav.stat().st_size
+            for mode in range(8):
+                for fname, cflags, _kw in flagsets:
+                    codec = codecs[(mode, fname)]
+                    codec._warmup(fmt)
+                    enc = codec._encoder_for(fmt)
+                    data = enc.encode_whole(list(samples), fmt.num_samples)
+                    decoded = Decoder().decode_whole(data)
+                    lossless = all(
+                        np.array_equal(decoded[c], samples[c])
+                        for c in range(fmt.num_channels))
+                    size_t = 100.0 * len(data) / orig
+                    comp = workdir / "grid.lnn"
+                    subprocess.run(
+                        [str(ref), "-e", "-m", str(mode), *cflags,
+                         str(wav), str(comp)],
+                        check=True, capture_output=True)
+                    size_c = 100.0 * comp.stat().st_size / orig
+                    delta = size_t - size_c
+                    row = [wav.name, mode, fname, round(size_t, 4),
+                           round(size_c, 4), round(delta, 4), lossless]
+                    out_rows.append(row)
+                    w.writerow(row)
+                    f.flush()
+                    print(f"{wav.name:16s} m{mode} {fname:5s} "
+                          f"ours {size_t:7.3f}%  C {size_c:7.3f}%  "
+                          f"d {delta:+8.4f}pp  lossless={lossless}",
+                          flush=True)
     # speech16 is the known chaotic clip: the C binary swings tens of pp
     # against ITSELF across flag sets on it (docs/PROFILE_r4.md), so its
     # cells measure fit-landscape chaos, not implementation deviation
