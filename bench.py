@@ -371,9 +371,12 @@ def _exact_device_m7_rows(rate: int, spb: int) -> dict:
     DeviceExactEncoder, byte-asserted against the host oracle.
 
     The preset-7 emulated-f64 graph costs ~15 min to compile cold through
-    the tunnel (persistent-cached across processes, docs/PROFILE_r4.md), so
-    the work runs on a daemon thread with a hard join timeout: a cold-cache
-    driver run loses only this row, never the whole artifact."""
+    the tunnel (persistent-cached across processes, docs/PROFILE_r4.md),
+    and even on a cache HIT the first dispatch re-uploads the ~40 MB
+    executable through the tunnel (6-18 min at bad tunnel weather,
+    docs/PROFILE_r5.md), so the work runs on a daemon thread with a hard
+    join timeout: a cold driver run loses only this row, never the whole
+    artifact."""
     import threading
 
     from linne_tpu.exact import device_encoder as de
@@ -458,7 +461,7 @@ def _exact_device_m7_rows(rate: int, spb: int) -> dict:
     try:
         th = threading.Thread(target=work, daemon=True)
         th.start()
-        th.join(1500.0)
+        th.join(2700.0)
     finally:
         de._CHUNK = old_chunk
     if failure:

@@ -294,6 +294,11 @@ class TpuDecoder:
 
                 starts = list(range(0, rows_total, _DL_CHUNK_ROWS))
                 slices = [packed[s : s + _DL_CHUNK_ROWS] for s in starts]
+                for sl in slices:  # overlap the chunk RPCs, don't sum them
+                    try:
+                        sl.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        pass
                 q: "queue.Queue" = queue.Queue(maxsize=2)
 
                 def _pull():
